@@ -1,13 +1,631 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.graph.Adjacency
+import graft.algos._
+import graft.pipeline.{Dedup, Media, Similarity, TextOps}
+import graft.ingest.Pages
+
+/** Driver contract (see SURVEY.md §7): one entry per implemented operator,
+  * each with an equivalent DuckDB oracle SQL over the same parquet tables.
+  *
+  * Determinism discipline for the hash compare:
+  *  - integer-valued doubles (quantities, counts, pair-products) are exact →
+  *    no rounding;
+  *  - order-dependent float aggregations are `round(...)`ed identically on
+  *    both sides;
+  *  - ties in window ranks are always broken by an explicit key column.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def parts(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  // ---- shared derived graph tables (same definitions in SQL below) ----
+
+  /** directed graph G over 937 vertices from lineitem (no self-loops) */
+  private def edgesG(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select((col("l_orderkey") % 937).as("src"), (col("l_partkey") % 937).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
+  private def edgesGSym(s: SparkSession, dir: String): DataFrame = {
+    val e = edgesG(s, dir)
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** weighted matrix M over 97 vertices (dup edges merged by max) */
+  private def matM(s: SparkSession, dir: String): GrbMatrix =
+    GrbMatrix(
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 97).as("src"), (col("l_partkey") % 97).as("dst"),
+          col("l_quantity").as("v"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(max(col("v")).as("v")),
+      GrbShape(97, 97))
+
+  private def vec1(s: SparkSession, dir: String): GrbVector =
+    GrbVector(t(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("v")), 1L << 40)
+
+  private def vec2(s: SparkSession, dir: String): GrbVector =
+    GrbVector(t(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_acctbal").as("v")), 1L << 40)
+
+  private val sqlEdges =
+    "SELECT DISTINCT l_orderkey % 937 AS src, l_partkey % 937 AS dst FROM lineitem " +
+      "WHERE l_orderkey % 937 <> l_partkey % 937"
+  private val sqlEdgesSym =
+    s"SELECT src, dst FROM ($sqlEdges) UNION SELECT dst, src FROM ($sqlEdges)"
+  private val sqlM =
+    "SELECT l_orderkey % 97 AS src, l_partkey % 97 AS dst, max(l_quantity) AS v " +
+      "FROM lineitem WHERE l_orderkey % 97 <> l_partkey % 97 GROUP BY 1, 2"
+  private val sqlV1 =
+    "SELECT c_custkey AS id, c_acctbal AS v FROM customer WHERE c_custkey % 3 = 0"
+  private val sqlV2 = "SELECT s_suppkey AS id, s_acctbal AS v FROM supplier"
+
+  /** Flagship: full web-graph pipeline on a small synthetic page table —
+    * pages → href extraction → id map → CSR adjacency → PageRank scores. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = Pages.synthesize(spark, 300, nSites = 20)
+    val ids = Pages.idMap(pages)
+    val edges = Pages.edges(pages, ids)
+    val adj = Adjacency.build(edges, 300, parts(spark))
+    PageRank.run(spark, adj, tol = 1e-6).scores
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ===== graph / semiring kernels =====
+    "edges_extract" -> ((s, d) => edgesG(s, d)),
+
+    "degrees_out" -> ((s, d) =>
+      GrbMatrix(edgesG(s, d).withColumn("v", lit(1.0)), GrbShape(937, 937))
+        .reduceRowwise(Ops.plusMonoid).df
+        .select(col("id"), col("v").cast("long").as("deg"))),
+
+    "mxv_plus_times" -> ((s, d) => {
+      val x = GrbVector(s.range(97).select(col("id"),
+        ((col("id") % 7) + 1).cast("double").as("v")), 97)
+      matM(s, d).mxv(x, Ops.plusTimes).df
+    }),
+
+    "mxm_plus_times" -> ((s, d) => {
+      val m = matM(s, d)
+      m.mxm(m, Ops.plusTimes).df
+    }),
+
+    "mxm_masked_plus_pair" -> ((s, d) =>
+      TriangleCount.support(edgesGSym(s, d), 937)),
+
+    "triangle_count" -> ((s, d) => {
+      import s.implicits._
+      Seq(TriangleCount.count(edgesGSym(s, d))).toDF("n_triangles")
+    }),
+
+    "pagerank_iter1" -> ((s, d) => {
+      val adj = Adjacency.build(edgesG(s, d), 937, parts(s))
+      val r = PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 1)
+      r.scores.select(col("id"), round(col("v"), 9).as("v"))
+    }),
+
+    "pagerank" -> ((s, d) => {
+      val adj = Adjacency.build(edgesG(s, d), 937, parts(s))
+      PageRank.run(s, adj, damping = 0.85, tol = 1e-6, maxIter = 100).scores
+    }),
+
+    "connected_components" -> ((s, d) =>
+      ConnectedComponents.run(s, edgesGSym(s, d), 937, parts(s)).components),
+
+    "label_propagation" -> ((s, d) =>
+      LabelPropagation.run(s, edgesGSym(s, d), 937, parts(s)).labels
+        .select(col("id"), col("label"))),
+
+    "bfs_levels" -> ((s, d) =>
+      BFS.levels(s, edgesG(s, d), 0, maxDepth = 15)),
+
+    // ===== element-wise / mask / assign kernels =====
+    "ewise_mult_plus" -> ((s, d) =>
+      vec1(s, d).ewiseMult(vec2(s, d), Ops.plus).df),
+
+    "ewise_add_minus" -> ((s, d) =>
+      vec1(s, d).ewiseAdd(vec2(s, d), Ops.minus).df),
+
+    "ewise_union_minus" -> ((s, d) =>
+      vec1(s, d).ewiseUnion(vec2(s, d), Ops.minus, lit(0.0), lit(0.0)).df),
+
+    "select_value_gt" -> ((s, d) =>
+      vec1(s, d).select((v, _) => v > 5000.0).df),
+
+    "apply_unary_sqrt" -> ((s, d) =>
+      vec1(s, d).apply(Ops.absOp).apply(Ops.sqrtOp).df),
+
+    "reduce_scalar_plus" -> ((s, d) => {
+      import s.implicits._
+      Seq(vec1(s, d).reduce(Ops.plusMonoid).get.asInstanceOf[Double])
+        .toDF("total").select(round(col("total"), 2).as("total"))
+    }),
+
+    "reduce_colwise_max" -> ((s, d) =>
+      matM(s, d).reduceColumnwise(Ops.maxMonoid).df),
+
+    "transpose_reduce" -> ((s, d) =>
+      matM(s, d).transpose.reduceRowwise(Ops.plusMonoid).df),
+
+    "mask_structural" -> ((s, d) =>
+      Kernels.maskFilter(vec1(s, d).df, vec2(s, d).mask(), Seq("id"))),
+
+    "mask_complement" -> ((s, d) =>
+      Kernels.maskFilter(vec1(s, d).df, vec2(s, d).mask(complement = true), Seq("id"))),
+
+    "extract_remap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sub = vec1(s, d).df.filter(col("id") % 15 === 0)
+      sub.withColumn("new_id",
+          (row_number().over(Window.orderBy("id")) - 1).cast("long"))
+        .select(col("new_id"), col("v"))
+    }),
+
+    "assign_scatter_min" -> ((s, d) => {
+      val base = GrbVector.dense(s, 50, lit(999999.0))
+      val targets = vec2(s, d).df.select(col("id"), (col("id") % 50).as("target"))
+      base.scatterAssign(targets, vec2(s, d), min, Ops.minBin).df
+    }),
+
+    "diag_extract" -> ((s, d) => matM(s, d).diag(1).df),
+
+    "topk_per_row" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("src").orderBy(col("v").desc, col("dst"))
+      matM(s, d).df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+    }),
+
+    "prefix_scan_row" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("src").orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      matM(s, d).df.select(col("src"), col("dst"), sum(col("v")).over(w).as("cum"))
+    }),
+
+    "argmax_per_row" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("src").orderBy(col("v").desc, col("dst"))
+      matM(s, d).df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("src").as("id"), col("dst"), col("v"))
+    }),
+
+    "kron_small" -> ((s, d) => {
+      val a = GrbMatrix(
+        t(s, d, "nation").groupBy((col("n_nationkey") % 5).as("src"),
+            col("n_regionkey").cast("long").as("dst"))
+          .agg(count(lit(1)).cast("double").as("v")),
+        GrbShape(5, 5))
+      val b = GrbMatrix(
+        t(s, d, "region").select(col("r_regionkey").cast("long").as("src"),
+          ((col("r_regionkey") + 1) % 5).cast("long").as("dst"), lit(1.0).as("v")),
+        GrbShape(5, 5))
+      a.kronecker(b, Ops.times).df
+    }),
+
+    "agg_stats" -> ((s, d) =>
+      vec1(s, d).df.agg(
+        count(lit(1)).as("n"),
+        round(sum(col("v")), 2).as("s"),
+        round(avg(col("v")), 4).as("mean"),
+        min(col("v")).as("mn"),
+        max(col("v")).as("mx"),
+        round(stddev_pop(col("v")), 4).as("stdp"))),
+
+    "agg_argminmax" -> ((s, d) => {
+      val v = vec1(s, d).df
+      v.orderBy(col("v").asc, col("id")).limit(1).select(col("id").as("argmin_id"))
+        .crossJoin(
+          v.orderBy(col("v").desc, col("id")).limit(1).select(col("id").as("argmax_id")))
+    }),
+
+    // ===== TPC-H-ish anchors =====
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("cnt"))),
+
+    "q3_join" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+
+    "top_order_per_cust" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    "sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("gap", unix_millis(col("ts").cast("timestamp")) - unix_millis(lag(col("ts"), 1).over(byUser).cast("timestamp")))
+        .withColumn("new_s", when(col("gap").isNull || col("gap") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(unix_millis(col("ts").cast("timestamp"))).as("t_start_ms"))
+    }),
+
+    // ===== training-data pipeline: dedup / text / similarity =====
+    "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
+    "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
+    "ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.05)),
+    "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
+    "minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshCandidates(t(s, d, "documents"))),
+    "simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    "embedding_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 5, k = 10)),
+    "embedding_lsh_buckets" -> ((s, d) =>
+      Similarity.lshBuckets(t(s, d, "embeddings"), nBits = 8)),
+    "embedding_ann_topk" -> ((s, d) =>
+      Similarity.annTopK(t(s, d, "embeddings"), nBits = 8, k = 10)),
+    "media_meta" -> ((s, d) =>
+      Media.metadata(
+        t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload", "doc_id")
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("content_md5")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "edges_extract" -> sqlEdges,
+
+    "degrees_out" ->
+      s"SELECT src AS id, count(*) AS deg FROM ($sqlEdges) GROUP BY src",
+
+    "mxv_plus_times" ->
+      s"SELECT src AS id, sum(v * (dst % 7 + 1)) AS v FROM ($sqlM) GROUP BY src",
+
+    "mxm_plus_times" ->
+      s"""WITH m AS ($sqlM)
+         |SELECT a.src AS src, b.dst AS dst, sum(a.v * b.v) AS v
+         |FROM m a JOIN m b ON a.dst = b.src GROUP BY a.src, b.dst""".stripMargin,
+
+    "mxm_masked_plus_pair" ->
+      s"""WITH e AS ($sqlEdgesSym), l AS (SELECT src, dst FROM e WHERE src > dst)
+         |SELECT m.src AS src, m.dst AS dst, CAST(count(*) AS DOUBLE) AS v
+         |FROM l m JOIN l a ON a.src = m.src JOIN l b ON b.src = m.dst AND b.dst = a.dst
+         |GROUP BY m.src, m.dst""".stripMargin,
+
+    "triangle_count" ->
+      s"""WITH e AS ($sqlEdgesSym), l AS (SELECT src, dst FROM e WHERE src > dst)
+         |SELECT count(*) AS n_triangles
+         |FROM l m JOIN l a ON a.src = m.src JOIN l b ON b.src = m.dst AND b.dst = a.dst"""
+        .stripMargin,
+
+    "pagerank_iter1" ->
+      s"""WITH base AS ($sqlEdges),
+         |deg AS (SELECT src, count(*) AS deg FROM base GROUP BY src),
+         |contrib AS (SELECT b.dst AS id, sum((1.0/937) * 0.85 / d.deg) AS g
+         |            FROM base b JOIN deg d ON b.src = d.src GROUP BY b.dst)
+         |SELECT t.id AS id, round(0.15/937 + coalesce(c.g, 0), 9) AS v
+         |FROM range(0, 937) t(id) LEFT JOIN contrib c ON t.id = c.id""".stripMargin,
+
+    "connected_components" ->
+      s"""WITH RECURSIVE e AS ($sqlEdgesSym),
+         |r(id, lbl) AS (
+         |  SELECT id, id FROM range(0, 937) t(id)
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id
+         |)
+         |SELECT id, min(lbl) AS component FROM r GROUP BY id""".stripMargin,
+
+    "label_propagation" ->
+      s"""WITH RECURSIVE e AS ($sqlEdgesSym),
+         |r(id, lbl) AS (
+         |  SELECT id, id FROM range(0, 937) t(id)
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id
+         |)
+         |SELECT id, min(lbl) AS label FROM r GROUP BY id""".stripMargin,
+
+    "bfs_levels" ->
+      s"""WITH RECURSIVE base AS ($sqlEdges),
+         |r(id, d) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
+         |)
+         |SELECT id, min(d) AS level FROM r GROUP BY id""".stripMargin,
+
+    "ewise_mult_plus" ->
+      s"SELECT a.id AS id, a.v + b.v AS v FROM ($sqlV1) a JOIN ($sqlV2) b USING (id)",
+
+    "ewise_add_minus" ->
+      s"""SELECT coalesce(a.id, b.id) AS id,
+         |  CASE WHEN a.id IS NOT NULL AND b.id IS NOT NULL THEN a.v - b.v
+         |       WHEN a.id IS NOT NULL THEN a.v ELSE b.v END AS v
+         |FROM ($sqlV1) a FULL JOIN ($sqlV2) b ON a.id = b.id""".stripMargin,
+
+    "ewise_union_minus" ->
+      s"""SELECT coalesce(a.id, b.id) AS id,
+         |  coalesce(a.v, 0.0) - coalesce(b.v, 0.0) AS v
+         |FROM ($sqlV1) a FULL JOIN ($sqlV2) b ON a.id = b.id""".stripMargin,
+
+    "select_value_gt" -> s"SELECT id, v FROM ($sqlV1) WHERE v > 5000.0",
+
+    "apply_unary_sqrt" -> s"SELECT id, sqrt(abs(v)) AS v FROM ($sqlV1)",
+
+    "reduce_scalar_plus" -> s"SELECT round(sum(v), 2) AS total FROM ($sqlV1)",
+
+    "reduce_colwise_max" ->
+      s"SELECT dst AS id, max(v) AS v FROM ($sqlM) GROUP BY dst",
+
+    "transpose_reduce" ->
+      s"SELECT dst AS id, sum(v) AS v FROM ($sqlM) GROUP BY dst",
+
+    "mask_structural" ->
+      s"SELECT id, v FROM ($sqlV1) WHERE id IN (SELECT id FROM ($sqlV2))",
+
+    "mask_complement" ->
+      s"SELECT id, v FROM ($sqlV1) WHERE id NOT IN (SELECT id FROM ($sqlV2))",
+
+    "extract_remap" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS new_id, v
+         |FROM ($sqlV1) WHERE id % 15 = 0""".stripMargin,
+
+    "assign_scatter_min" ->
+      s"""WITH sc AS (SELECT id % 50 AS id, min(v) AS v FROM ($sqlV2) GROUP BY 1)
+         |SELECT t.id AS id,
+         |  CASE WHEN sc.v IS NULL THEN 999999.0 ELSE least(999999.0, sc.v) END AS v
+         |FROM range(0, 50) t(id) LEFT JOIN sc ON t.id = sc.id""".stripMargin,
+
+    "diag_extract" ->
+      s"SELECT src AS id, v FROM ($sqlM) WHERE dst - src = 1",
+
+    "topk_per_row" ->
+      s"""SELECT src, dst, v, rn FROM (
+         |  SELECT src, dst, v,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY v DESC, dst) AS BIGINT) AS rn
+         |  FROM ($sqlM)) WHERE rn <= 3""".stripMargin,
+
+    "prefix_scan_row" ->
+      s"""SELECT src, dst, sum(v) OVER (PARTITION BY src ORDER BY dst
+         |  ROWS UNBOUNDED PRECEDING) AS cum FROM ($sqlM)""".stripMargin,
+
+    "argmax_per_row" ->
+      s"""SELECT src AS id, dst, v FROM (
+         |  SELECT src, dst, v,
+         |    row_number() OVER (PARTITION BY src ORDER BY v DESC, dst) AS rn
+         |  FROM ($sqlM)) WHERE rn = 1""".stripMargin,
+
+    "kron_small" ->
+      s"""WITH a AS (SELECT n_nationkey % 5 AS src, CAST(n_regionkey AS BIGINT) AS dst,
+         |             CAST(count(*) AS DOUBLE) AS v FROM nation GROUP BY 1, 2),
+         |b AS (SELECT CAST(r_regionkey AS BIGINT) AS src,
+         |        CAST((r_regionkey + 1) % 5 AS BIGINT) AS dst, 1.0 AS v FROM region)
+         |SELECT a.src * 5 + b.src AS src, a.dst * 5 + b.dst AS dst, a.v * b.v AS v
+         |FROM a CROSS JOIN b""".stripMargin,
+
+    "agg_stats" ->
+      s"""SELECT count(*) AS n, round(sum(v), 2) AS s, round(avg(v), 4) AS mean,
+         |  min(v) AS mn, max(v) AS mx, round(stddev_pop(v), 4) AS stdp
+         |FROM ($sqlV1)""".stripMargin,
+
+    "agg_argminmax" ->
+      s"""SELECT (SELECT id FROM ($sqlV1) ORDER BY v ASC, id LIMIT 1) AS argmin_id,
+         |       (SELECT id FROM ($sqlV1) ORDER BY v DESC, id LIMIT 1) AS argmax_id"""
+        .stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "top_order_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, CAST(min(epoch_ms(ts)) AS BIGINT) AS t_start_ms
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents""".stripMargin,
+
+    "quality_score" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), ' +') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / greatest(len(toks), 1), 6) AS mean_word_len,
+        |  round(CAST(len(list_filter(toks,
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    / greatest(len(toks), 1), 6) AS stopword_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS alpha_ratio
+        |FROM b""".stripMargin,
+
+    "lang_id" ->
+      """WITH b AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('the','and','of','is'))) AS s_en,
+        |  len(list_filter(toks, t -> t IN ('der','die','und','ist'))) AS s_de,
+        |  len(list_filter(toks, t -> t IN ('le','la','et','est'))) AS s_fr
+        |FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+        |       WHEN s_de > s_en THEN 'de' ELSE 'en' END AS lang_pred,
+        |  CAST(CASE WHEN s_fr > greatest(s_en, s_de) THEN s_fr
+        |       WHEN s_de > s_en THEN s_de ELSE s_en END AS BIGINT) AS marker_hits
+        |FROM sc""".stripMargin,
+
+    "doc_fingerprint" -> docFingerprintSql,
+
+    "ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+        |           FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        w[i] || '_' || w[i+1] || '_' || w[i+2] AS shingle
+        |      FROM t, unnest(range(1, greatest(len(w) - 1, 1))) u(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+        |FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05"""
+        .stripMargin,
+
+    "minhash_signatures" -> minhashSql,
+    "minhash_lsh_pairs" -> minhashLshSql,
+    "simhash" -> simhashSql,
+
+    "embedding_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(q.qe, c.emb) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) *
+        |       sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+        |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        |  SELECT query_id, cand_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 10""".stripMargin,
+
+    "embedding_lsh_buckets" -> lshBucketsSql,
+
+    "media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5 FROM documents""".stripMargin
+  )
+
+  // ---- longer SQL bodies built with the same constants as the Scala code ----
+
+  private def docFingerprintSql: String = {
+    // 31^k mod (2^31-1), k = 15..0, matching TextOps.fingerprints
+    def powMod31(k: Int): Long = {
+      var r = 1L; var i = 0
+      while (i < k) { r = r * 31 % 2147483647L; i += 1 }
+      r
+    }
+    val terms = (1 to 16).map { i =>
+      s"(ascii(substr(h16, $i, 1)) * CAST(${powMod31(16 - i)} AS BIGINT)) % 2147483647"
+    }.mkString(" + ")
+    s"""WITH n AS (SELECT doc_id,
+       |    lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS norm
+       |  FROM documents),
+       |h AS (SELECT doc_id, norm,
+       |    substr(norm || '################', 1, 16) AS h16 FROM n)
+       |SELECT doc_id, md5(norm) AS fingerprint,
+       |  ($terms) % 2147483647 AS rolling_hash
+       |FROM h""".stripMargin
+  }
+
+  private val sqlTokenHash =
+    "(ascii(substr(tok || '##', 1, 1)) * 1000003 + length(tok) * 10007 " +
+      "+ ascii(substr(tok || '##', 2, 1)) * 101 + ascii(substr(tok || '##', 3, 1))) " +
+      "% 2147483647"
+
+  private val minhashCoefSql: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
+    (22695477L, 1L), (134775813L, 1L), (214013L, 2531011L),
+    (48271L, 0L), (16807L, 0L))
+
+  private def minhashSql: String = {
+    val mins = minhashCoefSql.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % 2147483647) AS mh$i"
+    }.mkString(", ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+       |    FROM documents)),
+       |h AS (SELECT doc_id, $sqlTokenHash AS h FROM tok)
+       |SELECT doc_id, $mins FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  private def minhashLshSql: String = {
+    val bandSelects = (0 until 2).map { bnd =>
+      val key = (0 until 4).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc) * 31 + mh${4 * bnd + r}) % 1000000007"
+      }
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sig AS ($minhashSql),
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private def simhashSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
+       |h AS (SELECT doc_id, $sqlTokenHash AS h FROM tok),
+       |bits AS (SELECT doc_id, h, unnest(range(0, 16)) AS bit FROM h),
+       |bal AS (SELECT doc_id, bit,
+       |    sum((CAST(floor(h / pow(2.0, bit)) AS BIGINT) % 2) * 2 - 1) AS bal
+       |  FROM bits GROUP BY doc_id, bit)
+       |SELECT doc_id,
+       |  sum(CASE WHEN bal > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS simhash
+       |FROM bal GROUP BY doc_id""".stripMargin
+
+  private def lshBucketsSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |proj AS (
+      |  SELECT vec_id, j,
+      |    sum(emb[k + 1] * ((((j * 64 + k) * 2654435761 % 2147483647) % 1000)
+      |      / 1000.0 - 0.5)) AS p
+      |  FROM e, unnest(range(0, 8)) tj(j), unnest(range(0, len(emb))) tk(k)
+      |  GROUP BY vec_id, j)
+      |SELECT vec_id,
+      |  CAST(sum(CASE WHEN p > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS bucket
+      |FROM proj GROUP BY vec_id""".stripMargin
 }

@@ -1,0 +1,333 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core collection types of the engine, mirroring the reference's data model
+  * (SURVEY.md §1): a sparse `Vector` is a DataFrame `(id: long, v)` where a
+  * missing element is an ABSENT ROW (never a null value — reference
+  * "missing ≠ zero", `docs/user_guide/operations.rst:156-249`); a sparse
+  * `Matrix` is a DataFrame `(src: long, dst: long, v)` with `(src,dst)`
+  * unique. Logical size/shape is carried alongside, as in
+  * `graphblas/core/matrix.py:464-483` (nrows/ncols are declared shape, not
+  * max stored index).
+  *
+  * All kernels are pure DataFrame→DataFrame plan builders: like the
+  * reference's delayed expressions (`core/base.py:535`), nothing executes
+  * until an action — Catalyst is our optimizer, Tungsten our JIT.
+  */
+object Names {
+  val ID = "id"; val V = "v"; val SRC = "src"; val DST = "dst"
+}
+
+/** Write-control mask (reference `graphblas/core/mask.py:9-187`).
+  * `keys` is the key-set DataFrame (already reduced to truthy rows for value
+  * masks — value vs structure collapses at construction, SURVEY.md §2.4);
+  * `complement` flips semi-join to anti-join.
+  */
+final case class GrbMask(keys: DataFrame, complement: Boolean = false) {
+  def unary_~ : GrbMask = copy(complement = !complement)
+}
+
+object GrbMask {
+  /** structural mask m.S — write only keys present (mask.py:133) */
+  def structure(df: DataFrame, keyCols: Seq[String]): GrbMask =
+    GrbMask(df.select(keyCols.map(col): _*))
+  /** value mask m.V — write only keys whose value is truthy (mask.py:151) */
+  def value(df: DataFrame, keyCols: Seq[String], vCol: String = Names.V): GrbMask =
+    GrbMask(df.filter(col(vCol).cast("boolean") === true).select(keyCols.map(col): _*))
+}
+
+object Kernels {
+  import Names._
+
+  private def keyed(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col): _*)
+
+  /** Apply a mask's key filter to a result (semi-join; anti if complemented).
+    * This is the masked-mxm pushdown site: callers apply it BELOW their
+    * aggregation when semantics allow (SURVEY.md §4.2 item 3).
+    */
+  def maskFilter(df: DataFrame, mask: GrbMask, keys: Seq[String]): DataFrame = {
+    val joinType = if (mask.complement) "left_anti" else "left_semi"
+    df.join(mask.keys.hint("broadcast"), keys, joinType)
+  }
+
+  private def maskFilterInv(df: DataFrame, mask: GrbMask, keys: Seq[String]): DataFrame = {
+    val joinType = if (mask.complement) "left_semi" else "left_anti"
+    df.join(mask.keys.hint("broadcast"), keys, joinType)
+  }
+
+  /** The GraphBLAS write clause `C(mask, accum, replace) << T`
+    * (reference `base.py:338-514` `_update`, semantics
+    * `docs/user_guide/fundamentals.rst:14-38`):
+    *  - accum: overlaps of old C and T combined by accum, singletons pass
+    *    through (= ewise_add of state, `base.py:192-263`);
+    *  - mask: writes restricted to mask keys; outside-mask old values kept,
+    *    or dropped when replace=true (descriptor R variants,
+    *    `core/descriptor.py:52`).
+    */
+  def write(
+      old: DataFrame,
+      t: DataFrame,
+      keys: Seq[String],
+      mask: Option[GrbMask] = None,
+      accum: Option[BinaryOp] = None,
+      replace: Boolean = false): DataFrame = {
+    val z = accum match {
+      case Some(op) => ewiseAddDF(old, t, keys, op)
+      case None     => t
+    }
+    mask match {
+      case None => z
+      case Some(m) =>
+        val inside  = maskFilter(z, m, keys)
+        if (replace) inside
+        else inside.unionByName(maskFilterInv(old, m, keys))
+    }
+  }
+
+  /** ewise_add = full-outer union; overlaps combined, singletons passed
+    * through UNCHANGED even for non-commutative ops
+    * (`docs/user_guide/operations.rst:236-247`). Presence is tracked with
+    * explicit marker columns, never by value-null (SURVEY.md §7.4).
+    */
+  def ewiseAddDF(a: DataFrame, b: DataFrame, keys: Seq[String], op: BinaryOp): DataFrame = {
+    val la = a.select(keys.map(col) :+ col(V).as("_va") :+ lit(true).as("_pa"): _*)
+    val rb = b.select(keys.map(col) :+ col(V).as("_vb") :+ lit(true).as("_pb"): _*)
+    la.join(rb, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("_pa") && col("_pb"), op(col("_va"), col("_vb")))
+          .when(col("_pa"), col("_va"))
+          .otherwise(col("_vb")).as(V): _*)
+  }
+
+  /** ewise_mult = intersection (inner join), `matrix.py:1952` */
+  def ewiseMultDF(a: DataFrame, b: DataFrame, keys: Seq[String], op: BinaryOp): DataFrame = {
+    val la = a.select(keys.map(col) :+ col(V).as("_va"): _*)
+    val rb = b.select(keys.map(col) :+ col(V).as("_vb"): _*)
+    la.join(rb, keys, "inner")
+      .select(keys.map(col) :+ op(col("_va"), col("_vb")).as(V): _*)
+  }
+
+  /** ewise_union = union with per-side fill defaults (`matrix.py:2043`) */
+  def ewiseUnionDF(a: DataFrame, b: DataFrame, keys: Seq[String], op: BinaryOp,
+                   leftDefault: Column, rightDefault: Column): DataFrame = {
+    val la = a.select(keys.map(col) :+ col(V).as("_va") :+ lit(true).as("_pa"): _*)
+    val rb = b.select(keys.map(col) :+ col(V).as("_vb") :+ lit(true).as("_pb"): _*)
+    la.join(rb, keys, "full_outer")
+      .select(keys.map(col) :+
+        op(when(col("_pa"), col("_va")).otherwise(leftDefault),
+           when(col("_pb"), col("_vb")).otherwise(rightDefault)).as(V): _*)
+  }
+}
+
+/** Sparse vector of logical size `size` (reference `core/vector.py:141`). */
+final case class GrbVector(df: DataFrame, size: Long) {
+  import Names._
+
+  def nvals: Long = df.count()
+
+  def apply(op: UnaryOp): GrbVector =
+    copy(df = df.select(col(ID), op(col(V)).as(V)))
+
+  /** apply(binaryop, left=scalar) — bind-1st (`matrix.py:2460`) */
+  def applyLeft(op: BinaryOp, s: Column): GrbVector =
+    copy(df = df.select(col(ID), op(s, col(V)).as(V)))
+
+  def applyRight(op: BinaryOp, s: Column): GrbVector =
+    copy(df = df.select(col(ID), op(col(V), s).as(V)))
+
+  /** select(selectop, thunk): keep elements where predicate over
+    * (v, id, thunk) holds (`vector.py:1536`). */
+  def select(pred: (Column, Column) => Column): GrbVector =
+    copy(df = df.filter(pred(col(V), col(ID))))
+
+  def ewiseMult(other: GrbVector, op: BinaryOp): GrbVector =
+    copy(df = Kernels.ewiseMultDF(df, other.df, Seq(ID), op))
+
+  def ewiseAdd(other: GrbVector, op: BinaryOp): GrbVector =
+    copy(df = Kernels.ewiseAddDF(df, other.df, Seq(ID), op))
+
+  def ewiseUnion(other: GrbVector, op: BinaryOp, ld: Column, rd: Column): GrbVector =
+    copy(df = Kernels.ewiseUnionDF(df, other.df, Seq(ID), op, ld, rd))
+
+  /** Vector → Scalar fold (`vector.py:1635`); None = empty vector. */
+  def reduce(m: Monoid): Option[Any] = {
+    val r = df.agg(m.agg(col(V)).as("r")).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.get(0))
+  }
+
+  /** vxm: w(j) = ⊕_i v(i) ⊗ A(i,j)  (`vector.py:1309`) */
+  def vxm(a: GrbMatrix, s: Semiring): GrbVector = {
+    val left = df.select(col(ID).as("_i"), col(V).as("_vv"))
+    val prod = left.join(a.df, col("_i") === a.df(SRC))
+      .select(col(DST).as(ID), s.mult(col("_vv"), col(V)).as("_m"))
+    GrbVector(prod.groupBy(ID).agg(s.add.agg(col("_m")).as(V)), a.shape.ncols)
+  }
+
+  /** inner product v·w → scalar (`vector.py:1684`) */
+  def inner(other: GrbVector, s: Semiring): Option[Any] =
+    ewiseMult(other, s.mult).reduce(s.add)
+
+  /** extract with index remap: w(new) = v(old) for (old,new) in `indexMap`
+    * (`__getitem__` + `GrB_Col_extract`, SURVEY.md §2.7). */
+  def extract(indexMap: DataFrame, newSize: Long): GrbVector = {
+    val m = indexMap.select(col("old").as("_o"), col("new").as("_n"))
+    GrbVector(
+      df.join(m.hint("broadcast"), col(ID) === col("_o"))
+        .select(col("_n").as(ID), col(V)),
+      newSize)
+  }
+
+  /** Scatter-assign with dedup-by-accum: `w(accum)[I] << u` where duplicate
+    * targets are pre-reduced by the accum monoid — FastSV `Reduce_assign`
+    * semantics (notebook `Connected Components -- FastSV.ipynb`,
+    * SURVEY.md §2.7 / §7.4). `targets`: (id → target index) map.
+    */
+  def scatterAssign(targets: DataFrame, u: GrbVector, accumAgg: Column => Column,
+                    accum: BinaryOp): GrbVector = {
+    val t = targets.select(col("id").as("_si"), col("target").as("_ti"))
+    val scattered = u.df.join(t, col(ID) === col("_si"))
+      .groupBy(col("_ti").as(ID)).agg(accumAgg(col(V)).as(V))
+    copy(df = Kernels.ewiseAddDF(df, scattered, Seq(ID), accum))
+  }
+
+  def mask(complement: Boolean = false): GrbMask =
+    GrbMask(df.select(col(ID)), complement)
+
+  def cacheEager(): GrbVector = { val d = df.cache(); d.count(); copy(df = d) }
+  def checkpointLocal(): GrbVector = copy(df = df.localCheckpoint(true))
+}
+
+object GrbVector {
+  import Names._
+  def fromPairs(spark: org.apache.spark.sql.SparkSession,
+                pairs: Seq[(Long, Double)], size: Long): GrbVector = {
+    import spark.implicits._
+    GrbVector(pairs.toDF(ID, V), size)
+  }
+  /** dense iso vector: v[:] = s over 0..size-1 (`vector.py:789` from_scalar) */
+  def dense(spark: org.apache.spark.sql.SparkSession, size: Long, s: Column): GrbVector =
+    GrbVector(spark.range(size).select(col(ID), s.as(V)), size)
+}
+
+final case class GrbShape(nrows: Long, ncols: Long)
+
+/** Sparse matrix (reference `core/matrix.py:167`). */
+final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
+  import Names._
+
+  def nvals: Long = df.count()
+
+  /** zero-copy transpose view (`matrix.py:3825`): pure column swap. */
+  def transpose: GrbMatrix =
+    GrbMatrix(df.select(col(DST).as(SRC), col(SRC).as(DST), col(V)),
+      GrbShape(shape.ncols, shape.nrows))
+
+  def apply(op: UnaryOp): GrbMatrix =
+    copy(df = df.select(col(SRC), col(DST), op(col(V)).as(V)))
+
+  /** select(selectop): predicate over (v, src, dst) (`matrix.py:2534`);
+    * e.g. tril = (v,i,j) => j < i ; valuegt(t) = (v,_,_) => v > t */
+  def select(pred: (Column, Column, Column) => Column): GrbMatrix =
+    copy(df = df.filter(pred(col(V), col(SRC), col(DST))))
+
+  def ewiseMult(other: GrbMatrix, op: BinaryOp): GrbMatrix =
+    copy(df = Kernels.ewiseMultDF(df, other.df, Seq(SRC, DST), op))
+
+  def ewiseAdd(other: GrbMatrix, op: BinaryOp): GrbMatrix =
+    copy(df = Kernels.ewiseAddDF(df, other.df, Seq(SRC, DST), op))
+
+  /** reduce_rowwise(monoid): Matrix → Vector per-row fold (`matrix.py:2636`) */
+  def reduceRowwise(m: Monoid): GrbVector =
+    GrbVector(df.groupBy(col(SRC).as(ID)).agg(m.agg(col(V)).as(V)), shape.nrows)
+
+  def reduceColumnwise(m: Monoid): GrbVector =
+    GrbVector(df.groupBy(col(DST).as(ID)).agg(m.agg(col(V)).as(V)), shape.ncols)
+
+  def reduceScalar(m: Monoid): Option[Any] = {
+    val r = df.agg(m.agg(col(V)).as("r")).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.get(0))
+  }
+
+  /** mxv over a semiring: w(i) = ⊕_j A(i,j) ⊗ v(j) (`matrix.py:2203`) —
+    * THE gather kernel. Vector side broadcast when small enough is left to
+    * AQE/Catalyst; algorithm drivers use the pre-bucketed adjacency layout
+    * (graft.graph.Adjacency) instead of this generic form.
+    */
+  def mxv(v: GrbVector, s: Semiring): GrbVector = {
+    val right = v.df.select(col(ID).as("_j"), col(V).as("_vv"))
+    val prod = df.join(right, col(DST) === col("_j"))
+      .select(col(SRC).as(ID), s.mult(col(V), col("_vv")).as("_m"))
+    GrbVector(prod.groupBy(ID).agg(s.add.agg(col("_m")).as(V)), shape.nrows)
+  }
+
+  /** mxm over a semiring, with optional STRUCTURAL MASK PUSHED BELOW the
+    * aggregation (`GrB_mxm` + descriptor fusion, `fundamentals.rst:56-63`;
+    * our plan-construction rule, SURVEY.md §4.2 item 3 — Catalyst will not
+    * invent this semi-join placement).
+    */
+  def mxm(other: GrbMatrix, s: Semiring, mask: Option[GrbMask] = None): GrbMatrix = {
+    val l = df.select(col(SRC).as("_i"), col(DST).as("_k"), col(V).as("_va"))
+    val r = other.df.select(col(SRC).as("_k2"), col(DST).as("_j"), col(V).as("_vb"))
+    var prod = l.join(r, col("_k") === col("_k2"))
+      .select(col("_i").as(SRC), col("_j").as(DST), s.mult(col("_va"), col("_vb")).as("_m"))
+    mask.foreach { m => prod = Kernels.maskFilter(prod, m, Seq(SRC, DST)) }
+    GrbMatrix(prod.groupBy(SRC, DST).agg(s.add.agg(col("_m")).as(V)),
+      GrbShape(shape.nrows, other.shape.ncols))
+  }
+
+  /** extract k-th diagonal → Vector (`matrix.py:720`) */
+  def diag(k: Long = 0): GrbVector =
+    GrbVector(df.filter(col(DST) - col(SRC) === k).select(col(SRC).as(ID), col(V)),
+      math.min(shape.nrows, shape.ncols))
+
+  /** extract submatrix with dense index remap (SURVEY.md §2.7): `rowMap` /
+    * `colMap` are (old→new) DataFrames. */
+  def extract(rowMap: DataFrame, colMap: DataFrame, newShape: GrbShape): GrbMatrix = {
+    val rm = rowMap.select(col("old").as("_ro"), col("new").as("_rn"))
+    val cm = colMap.select(col("old").as("_co"), col("new").as("_cn"))
+    GrbMatrix(
+      df.join(rm.hint("broadcast"), col(SRC) === col("_ro"))
+        .join(cm.hint("broadcast"), col(DST) === col("_co"))
+        .select(col("_rn").as(SRC), col("_cn").as(DST), col(V)),
+      newShape)
+  }
+
+  /** shift all indices, dropping out-of-range (`matrix.py:2764`) */
+  def reposition(roff: Long, coff: Long): GrbMatrix =
+    copy(df = df.select((col(SRC) + roff).as(SRC), (col(DST) + coff).as(DST), col(V))
+      .filter(col(SRC) >= 0 && col(SRC) < shape.nrows &&
+              col(DST) >= 0 && col(DST) < shape.ncols))
+
+  def structureMask(complement: Boolean = false): GrbMask =
+    GrbMask(df.select(col(SRC), col(DST)), complement)
+
+  /** kronecker product (`matrix.py:2333`): block-index arithmetic. */
+  def kronecker(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
+    val r = other.df.select(col(SRC).as("_s2"), col(DST).as("_d2"), col(V).as("_v2"))
+    GrbMatrix(
+      df.crossJoin(r).select(
+        (col(SRC) * other.shape.nrows + col("_s2")).as(SRC),
+        (col(DST) * other.shape.ncols + col("_d2")).as(DST),
+        op(col(V), col("_v2")).as(V)),
+      GrbShape(shape.nrows * other.shape.nrows, shape.ncols * other.shape.ncols))
+  }
+}
+
+object GrbMatrix {
+  import Names._
+  /** from_coo with dup merge (`matrix.py:818`; dup required for duplicates) */
+  def fromCoo(spark: org.apache.spark.sql.SparkSession,
+              triples: Seq[(Long, Long, Double)], shape: GrbShape,
+              dup: Option[Monoid] = None): GrbMatrix = {
+    import spark.implicits._
+    val df = triples.toDF(SRC, DST, V)
+    val d = dup match {
+      case Some(m) => df.groupBy(SRC, DST).agg(m.agg(col(V)).as(V))
+      case None    => df
+    }
+    GrbMatrix(d, shape)
+  }
+}

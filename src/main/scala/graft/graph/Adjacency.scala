@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Partitioned CSR-style adjacency (north_star: "sorted vertex-range buckets
+  * of packed neighbor arrays with explicit salting of high-degree hubs").
+  *
+  * Built ONCE per graph from the (src, dst) edge table and reused across all
+  * iterations — the analogue of the reference backend's CSR storage
+  * (`graphblas/core/ss/matrix.py:1163` import_csr), re-expressed as a
+  * persisted, hash-partitioned Dataset of packed neighbor arrays:
+  *
+  *   (src: long, deg: long, dsts: array<long>)
+  *
+  * `deg` is the FULL out-degree of src (not the chunk length), so PageRank's
+  * per-edge contribution `score/deg` needs no extra degree join at
+  * iteration time.
+  *
+  * Hub salting: a vertex with out-degree above `maxChunk` is split into
+  * ceil(deg/maxChunk) rows via arithmetic on dst (`dst % nChunks`) — no
+  * global sort needed, and no single row or `collect_list` group ever holds
+  * an unbounded array. This is the explicit skew control AQE cannot provide
+  * for a giant aggregation group (SURVEY.md §4.2 item 2). High IN-degree
+  * skew on the gather side is handled by Spark's partial (map-side)
+  * aggregation.
+  *
+  * At 100 TB scale this layout is what makes iterative gather cheap: the big
+  * adjacency is shuffled exactly once (at build), persisted partitioned by
+  * `src`; each iteration only shuffles the small score vector to meet it.
+  */
+final case class Adjacency(rows: DataFrame, numVertices: Long, numEdges: Long,
+                           numPartitions: Int) {
+  def unpersist(): Unit = rows.unpersist()
+}
+
+object Adjacency {
+
+  /** Build from a deduplicated (src, dst) edge table. `numVertices` is the
+    * logical vertex-universe size (ids 0..n-1). */
+  def build(edges: DataFrame, numVertices: Long, numPartitions: Int,
+            maxChunk: Int = 4096,
+            storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Adjacency = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Join edges with degree (both sides hash-partitioned on src), derive a
+    // deterministic chunk id, then pack per (src, chunk).
+    val nChunks = ceil(col("deg") / maxChunk).cast("long")
+    val rows = edges
+      .join(deg, "src")
+      .withColumn("_chunk", pmod(col("dst"), nChunks))
+      .groupBy(col("src"), col("_chunk"))
+      .agg(first(col("deg")).as("deg"), sort_array(collect_list(col("dst"))).as("dsts"))
+      .select(col("src"), col("deg"), col("dsts"))
+      .repartition(numPartitions, col("src"))
+      .persist(storage)
+    val numEdges = rows.agg(coalesce(sum(size(col("dsts"))), lit(0L))).collect()(0).getLong(0)
+    Adjacency(rows, numVertices, numEdges, numPartitions)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact hash dedup,
+  * word-n-gram Jaccard near-dup, MinHash+LSH banding, SimHash.
+  *
+  * Hash functions are deliberately plain integer arithmetic over code points
+  * (not Spark's xxhash64 / DuckDB's hash), so the exact same values are
+  * computable in ANSI SQL for the DuckDB oracle, and so behavior is engine-
+  * version-independent. At scale, every step is a projection, explode,
+  * hash-shuffle groupBy, or equi-join on a short key — no cross join ever
+  * touches the full corpus (candidate pairs come from shared
+  * shingles/bands/buckets only).
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5(text), keep the smallest doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+
+  /** word w-shingles (w=3), distinct per doc: (doc_id, shingle) */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
+    val toks = split(trim(col("text")), " +")
+    val nSh = size(toks) - (w - 1)
+    // guard: Spark's sequence(1, 0) is DESCENDING [1,0], not empty
+    val sh = when(nSh >= 1,
+      transform(sequence(lit(1), nSh),
+        i => concat_ws("_", (0 until w).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array())
+    docs.select(col("doc_id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs: candidates from shared shingles only
+    * (inverted-index join), similarity = |∩| / |∪|, thresholded. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        w: Int = 3): DataFrame = {
+    val sh = shingles(docs, w)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Portable token hash: pure arithmetic over the first/second/last code
+    * points + length. Weak but deterministic and SQL-expressible. */
+  def tokenHash(t: Column): Column = {
+    val padded = concat(t, lit("##"))
+    (ascii(substring(padded, 1, 1)).cast("long") * 1000003L
+      + length(t).cast("long") * 10007L
+      + ascii(substring(padded, 2, 1)).cast("long") * 101L
+      + ascii(substring(padded, 3, 1)).cast("long")) % 2147483647L
+  }
+
+  private val P = 2147483647L
+  // fixed MinHash permutation coefficients (odd multipliers)
+  private val minhashCoef: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
+    (22695477L, 1L), (134775813L, 1L), (214013L, 2531011L),
+    (48271L, 0L), (16807L, 0L))
+
+  /** MinHash signatures: sig_i(doc) = min over tokens of (a_i*h + b_i) mod P.
+    * Output: (doc_id, mh0..mh7). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " +")).as("tok")).distinct()
+    val h = tokenHash(col("tok"))
+    val aggs = minhashCoef.zipWithIndex.map { case ((a, b), i) =>
+      min((h * a + b) % P).as(s"mh$i")
+    }
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the MinHash signature (2 bands × 4 rows): candidate
+    * pairs = docs sharing at least one band key. */
+  def minhashLshCandidates(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = (0 until 2).map { bnd =>
+      // Horner fold of the band's 4 signature rows mod 1e9+7 (overflow-safe)
+      val key = (0 until 4).foldLeft(lit(0L).cast("long")) { (acc, r) =>
+        (acc * 31L + col(s"mh${4 * bnd + r}")) % 1000000007L
+      }
+      sig.select(col("doc_id"), lit(bnd).as("band"), key.as("key"))
+    }.reduce(_ unionByName _)
+    val l = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 16-bit SimHash over token hashes: bit b of the signature is the sign of
+    * Σ_tokens (2*((h>>b)&1) - 1). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " +")).as("tok"))
+    val h = tokenHash(col("tok"))
+    val withBits = toks.select(col("doc_id"),
+      explode(sequence(lit(0), lit(15))).as("bit"), h.as("h"))
+    // (h >> bit) & 1 via floor-div (shift amount must be a Column, which the
+    // shiftright builtin does not accept); values < 2^31 are exact in double
+    val bitVal = pmod(floor(col("h") / pow(lit(2.0), col("bit"))).cast("long"), lit(2L))
+    withBits
+      .groupBy("doc_id", "bit")
+      .agg(sum(bitVal * 2 - 1).as("bal"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bal") > 0, pow(lit(2.0), col("bit")).cast("long"))
+        .otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH bucketing as the scale path (candidates only meet inside a bucket, so
+  * the quadratic term is per-bucket, not corpus-wide).
+  *
+  * Dot products are pure `aggregate`/`zip_with` Column expressions (codegen,
+  * no UDF). Hyperplanes are generated from deterministic integer arithmetic
+  * so the oracle SQL can reproduce them exactly.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector (vec_id < nQueries)
+    * rank all other vectors. Output: (query_id, cand_id, sim, rank).
+    * The query side is broadcast; the corpus is scanned once. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val sims = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component j∈[0,nBits), k∈[0,dim):
+    * ((j*dim + k) * 2654435761 mod 1000) / 1000 - 0.5 */
+  private def planeComponent(j: Int, k: Column): Column =
+    (pmod((lit(j.toLong) * 64L + k.cast("long")) * 2654435761L % 2147483647L,
+      lit(1000L)).cast("double") / 1000.0) - 0.5
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits) per vector — the
+    * scale path for ANN: vectors sharing a bucket are the only candidate
+    * pairs. Output: (vec_id, bucket). */
+  def lshBuckets(emb: DataFrame, nBits: Int = 8): DataFrame = {
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, k) => x.cast("double") * planeComponent(j, k)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
+    }
+    emb.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
+  }
+
+  /** Bucketed ANN: exact cosine, but only within LSH buckets. */
+  def annTopK(emb: DataFrame, nBits: Int = 8, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = lshBuckets(emb, nBits)
+    val withB = emb.join(b, "vec_id")
+    val l = withB.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val r = withB.select(col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val sims = l.join(r, "bucket").filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristic, fingerprinting.
+  * All pure Column expressions (whole-stage codegen, no UDFs), designed so
+  * an identical ANSI-SQL formulation exists for the DuckDB oracle.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** whitespace token count + a BPE-ish size estimate (≈ chars/4, the usual
+    * subword heuristic). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("n_bpe_est"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: length, mean word length, stopword ratio, alpha ratio.
+    * Score formula is arbitrary-but-deterministic; the operator shape
+    * (multi-feature doc scoring in one projection) is what matters. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopCnt = size(filter(toks, t => t.isin(stopwords: _*)))
+    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        greatest(nTok, lit(1)), 6).as("mean_word_len"),
+      round(stopCnt.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_ratio"),
+      round(alphaChars.cast("double") / greatest(length(col("text")), lit(1)), 6)
+        .as("alpha_ratio"))
+  }
+
+  /** Language-ID heuristic: score each candidate language by marker-token
+    * hits, pick argmax with deterministic tie-break (lexicographic). */
+  def langId(docs: DataFrame): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "fr" -> Seq("le", "la", "et", "est"))
+    val toks = tokens(col("text"))
+    val scores = markers.map { case (lang, ms) =>
+      (lang, size(filter(toks, t => t.isin(ms: _*))))
+    }
+    // argmax with tie-break on language name: fold over (score, lang) pairs
+    val best = scores.map { case (lang, s) =>
+      struct(s.as("s"), lit(lang).as("l"))
+    }.reduce((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    docs.select(col("doc_id"), best.getField("l").as("lang_pred"),
+      best.getField("s").cast("long").as("marker_hits"))
+  }
+
+  /** Document fingerprint: md5 of punctuation-stripped lowercased text, plus
+    * a 32-bit rolling-polynomial hash of the first 16 normalized chars
+    * (horner over code points — pure arithmetic, portable to SQL). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+    val head16 = substring(concat(norm, lit("################")), 1, 16)
+    val roll = (1 to 16).map { i =>
+      // ascii(substr) * 31^(16-i) mod 2^31-1, summed
+      (ascii(substring(head16, i, 1)).cast("long") * powMod31(16 - i)) % 2147483647L
+    }.reduce(_ + _) % 2147483647L
+    docs.select(col("doc_id"), md5(norm.cast("binary")).as("fingerprint"),
+      roll.as("rolling_hash"))
+  }
+
+  // 31^k mod (2^31-1) precomputed on the driver
+  private def powMod31(k: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < k) { r = r * 31 % 2147483647L; i += 1 }
+    r
+  }
+}
