@@ -12,21 +12,28 @@ object BFS {
   def levels(spark: SparkSession, edges: DataFrame, source: Long,
              maxDepth: Int = 64): DataFrame = {
     import spark.implicits._
-    var visited = Seq((source, 0L)).toDF("id", "level").localCheckpoint(true)
-    var frontier = visited.select(col("id"))
+    import graft.core.Ckpt
+    var visited = Ckpt.materialize(Seq((source, 0L)).toDF("id", "level"))
+    var frontier = visited.df.select(col("id"))
+    var lastNext: Option[graft.core.CkptState] = None
     var depth = 0L
     var frontierSize = 1L
     while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
-      val next = edges.join(frontier, edges("src") === frontier("id"))
-        .select(edges("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti") // mask: ~visited.S
-        .select(col("id"), lit(depth).as("level"))
-        .localCheckpoint(true)
-      frontierSize = next.count()
-      visited = visited.unionByName(next).localCheckpoint(true)
-      frontier = next.select(col("id"))
+      val next = Ckpt.materialize(
+        edges.join(frontier, edges("src") === frontier("id"))
+          .select(edges("dst").as("id")).distinct()
+          .join(visited.df, Seq("id"), "left_anti") // mask: ~visited.S
+          .select(col("id"), lit(depth).as("level")))
+      frontierSize = next.df.count()
+      val newVisited = Ckpt.materialize(visited.df.unionByName(next.df))
+      visited.release()
+      lastNext.foreach(_.release()) // previous frontier, now consumed
+      lastNext = Some(next)
+      visited = newVisited
+      frontier = next.df.select(col("id"))
     }
-    visited
+    lastNext.foreach(_.release())
+    visited.df
   }
 }

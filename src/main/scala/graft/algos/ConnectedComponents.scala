@@ -2,7 +2,7 @@ package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Kernels, Ops}
+import graft.core.{Ckpt, Kernels, Ops}
 
 final case class CCResult(components: DataFrame, iterations: Int)
 
@@ -20,8 +20,9 @@ final case class CCResult(components: DataFrame, iterations: Int)
   *
   * Edge input must be symmetric (both directions present). All vectors are
   * dense (id, v) DataFrames co-keyed on id; every step is an equi-join +
-  * hash aggregation, and state is localCheckpoint'ed per iteration to
-  * truncate lineage. Converges in O(log n) rounds.
+  * hash aggregation. Iteration state (f, gp) is re-materialized per round
+  * via Ckpt (flat plans — O(1) planning cost per round) and previous-round
+  * blocks are released one round later. Converges in O(log n) rounds.
   */
 object ConnectedComponents {
 
@@ -31,9 +32,8 @@ object ConnectedComponents {
       .repartition(numPartitions, col("id")).persist()
     vertices.count()
 
-    var f = vertices.select(col("id"), col("id").as("v")).localCheckpoint(true)
-    var gp = f          // f is the identity map, so gp = f(f) = f
-    var gpPrev = f
+    var fState = Ckpt.materialize(vertices.select(col("id"), col("id").as("v")))
+    var gpState = fState      // f is the identity map, so gp = f(f) = f
     var iter = 0
     var changed = true
 
@@ -41,37 +41,42 @@ object ConnectedComponents {
       Kernels.ewiseAddDF(a, b, Seq("id"), Ops.minBin)
 
     while (changed && iter < maxIter) {
-      val fOld = f
+      val f = fState.df
+      val gp = gpState.df
       // mngp(i) = min_{j in N(i)} gp(j)   [min_second semiring mxv]
       val gpl = gp.select(col("id").as("_j"), col("v").as("_gp"))
       val mngp = edgesSym.join(gpl, col("dst") === col("_j"))
         .groupBy(col("src").as("id")).agg(min(col("_gp")).as("v"))
 
       // hooking: f[fOld(i)] min= mngp(i); duplicate targets reduced by min
-      val scattered = fOld.select(col("id"), col("v").as("_t"))
+      val scattered = f.select(col("id"), col("v").as("_t"))
         .join(mngp, "id")
         .groupBy(col("_t").as("id")).agg(min(col("v")).as("v"))
 
-      var f1 = minMerge(fOld, scattered)
+      var f1 = minMerge(f, scattered)
       f1 = minMerge(f1, mngp)     // f = min(f, mngp)
       f1 = minMerge(f1, gp)       // shortcut: f = min(f, gp)
-      f = f1.localCheckpoint(true)
+      val newFState = Ckpt.materialize(f1)
 
       // gp = f[f]
-      val f2 = f.select(col("id").as("_k"), col("v").as("_gv"))
-      gp = f.join(f2, f("v") === col("_k"))
-        .select(f("id"), col("_gv").as("v"))
-        .localCheckpoint(true)
+      val nf = newFState.df
+      val f2 = nf.select(col("id").as("_k"), col("v").as("_gv"))
+      val newGpState = Ckpt.materialize(
+        nf.join(f2, nf("v") === col("_k")).select(nf("id"), col("_gv").as("v")))
 
-      // change = lor-reduce of (gp != gpPrev)
-      val prev = gpPrev.select(col("id"), col("v").as("_pv"))
-      changed = gp.join(prev, "id")
+      // change = lor-reduce of (gp_new != gp)   [notebook: ne(gp_dup & gp)]
+      val prev = gp.select(col("id"), col("v").as("_pv"))
+      changed = newGpState.df.join(prev, "id")
         .agg(max(when(col("v") =!= col("_pv"), 1).otherwise(0)).as("c"))
         .collect()(0).getInt(0) == 1
-      gpPrev = gp
+
+      // this round's inputs are no longer referenced — free their blocks
+      Seq(fState, gpState).distinct.foreach(_.release())
+      fState = newFState
+      gpState = newGpState
       iter += 1
     }
     vertices.unpersist()
-    CCResult(f.select(col("id"), col("v").as("component")), iter)
+    CCResult(fState.df.select(col("id"), col("v").as("component")), iter)
   }
 }

@@ -2,7 +2,7 @@ package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Kernels, Ops}
+import graft.core.{Ckpt, Kernels, Ops}
 
 final case class LPResult(labels: DataFrame, iterations: Int)
 
@@ -24,10 +24,11 @@ object LabelPropagation {
     val vertices = spark.range(n).select(col("id"))
       .repartition(numPartitions, col("id")).persist()
     vertices.count()
-    var l = vertices.select(col("id"), col("id").as("v")).localCheckpoint(true)
+    var state = Ckpt.materialize(vertices.select(col("id"), col("id").as("v")))
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
+      val l = state.df
       // nl(i) = min_{j in N(i)} l(j)   [min_second mxv]
       val ll = l.select(col("id").as("_j"), col("v").as("_lv"))
       val nl = edgesSym.join(ll, col("dst") === col("_j"))
@@ -35,14 +36,15 @@ object LabelPropagation {
       // accumulate: l = min(l, nl), and count changed labels in one pass
       val merged = Kernels.ewiseAddDF(l.select(col("id"), col("v")), nl, Seq("id"), Ops.minBin)
       val prev = l.select(col("id"), col("v").as("_pv"))
-      val stepped = merged.join(prev, "id").localCheckpoint(true)
-      changed = stepped
+      val newState = Ckpt.materialize(merged.join(prev, "id"))
+      changed = newState.df
         .agg(max(when(col("v") =!= col("_pv"), 1).otherwise(0)).as("c"))
         .collect()(0).getInt(0) == 1
-      l = stepped.select(col("id"), col("v"))
+      state.release()
+      state = newState
       iter += 1
     }
     vertices.unpersist()
-    LPResult(l.select(col("id"), col("v").as("label")), iter)
+    LPResult(state.df.select(col("id"), col("v").as("label")), iter)
   }
 }

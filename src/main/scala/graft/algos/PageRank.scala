@@ -2,6 +2,7 @@ package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Ckpt
 import graft.graph.Adjacency
 import graft.runtime.IterationCheckpointer
 
@@ -25,6 +26,10 @@ final case class PageRankResult(scores: DataFrame, iterations: Int,
   * `score*damping/deg` → groupBy(dst).sum — so each iteration shuffles only
   * the small score vector plus the per-edge partial sums (map-side combined).
   * The adjacency itself is never reshuffled after build.
+  *
+  * Iteration state is re-materialized per round via Ckpt (flat plan, O(1)
+  * planning cost and O(1) storage in iteration count), and the previous
+  * round's blocks are released immediately.
   *
   * We compute in FP64 rather than the notebook's FP32 (documented
   * divergence: FP64 is strictly closer to the true recurrence, and the
@@ -50,7 +55,8 @@ object PageRank {
         (0, vertices.select(col("id"), lit(1.0 / n).as("v")))
     }
 
-    var t = startScores.localCheckpoint(true)
+    var state = Ckpt.materialize(startScores)
+    var t = state.df
     var iter = startIter
     var rdiff = Double.MaxValue
     while (iter < maxIter && rdiff > tol) {
@@ -62,14 +68,16 @@ object PageRank {
       val gathered = contrib.groupBy("dst").agg(sum(col("c")).as("g"))
       // dense completion (r[:] = teleport, then accum plus) + rdiff in one pass
       val tOld = t.select(col("id").as("_oid"), col("v").as("_ov"))
-      val stepped = vertices
+      val steppedPlan = vertices
         .join(gathered, vertices("id") === gathered("dst"), "left_outer")
         .select(col("id"), (lit(teleport) + coalesce(col("g"), lit(0.0))).as("v"))
         .join(tOld, col("id") === col("_oid"))
         .select(col("id"), col("v"), abs(col("v") - col("_ov")).as("_d"))
-        .localCheckpoint(true) // materialize + truncate lineage each iteration
-      rdiff = stepped.agg(sum(col("_d"))).collect()(0).getDouble(0)
-      t = stepped.select(col("id"), col("v"))
+      val newState = Ckpt.materialize(steppedPlan)
+      rdiff = newState.df.agg(sum(col("_d"))).collect()(0).getDouble(0)
+      state.release()
+      state = newState
+      t = newState.df.select(col("id"), col("v"))
       iter += 1
       checkpointer.foreach(_.save(t, iter, Map("rdiff" -> rdiff.toString)))
     }

@@ -1,0 +1,23 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShims}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+
+/** Iteration-state materialization for driver loops (PageRank / FastSV / LP /
+  * BFS): eagerly computes the DataFrame into a persisted RDD and rewraps it
+  * as a flat plan — O(1) per-iteration planning cost regardless of iteration
+  * count (see GraftSqlShims for why plain `localCheckpoint` is exponential
+  * here). `release()` frees the previous iteration's blocks so state memory
+  * stays O(1) in iterations.
+  */
+final case class CkptState(df: DataFrame, private val rdd: RDD[InternalRow]) {
+  def release(): Unit = rdd.unpersist(blocking = false)
+}
+
+object Ckpt {
+  def materialize(df: DataFrame): CkptState = {
+    val (flat, rdd) = GraftSqlShims.cachedDataFrame(df)
+    CkptState(flat, rdd)
+  }
+}

@@ -56,7 +56,7 @@ object Ops {
   // ---- binary (reference `operator/binary.py:421-460`) ----
   val first  = BinaryOp("first", (a, _) => a)
   val second = BinaryOp("second", (_, b) => b)
-  val pair   = BinaryOp("pair", (_, _) => lit(1L))
+  val pair   = BinaryOp("pair", (_, _) => lit(1.0))
   // `any` is "pick either"; we make it deterministic as `first`
   // (documented divergence, SURVEY.md §7.4).
   val anyOp  = BinaryOp("any", (a, _) => a)

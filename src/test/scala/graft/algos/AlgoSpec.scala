@@ -1,0 +1,125 @@
+package graft.algos
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import graft.graph.Adjacency
+
+/** Algorithm parity vs the reference's own fixture graphs, with expected
+  * values recomputed on the driver using the exact reference recurrences
+  * (FIXTURES.md §2.3-2.6). */
+class AlgoSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // PageRank demo graph (notebooks/Pagerank Demo.ipynb): 5 nodes, 7 edges
+  val prEdges: Seq[(Long, Long)] =
+    Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 0L))
+
+  /** exact pagerank_3f recurrence in plain Scala (driver-side oracle) */
+  def pagerank3fLocal(n: Int, edges: Seq[(Long, Long)], damping: Double,
+                      tol: Double, itermax: Int): (Array[Double], Int) = {
+    val teleport = (1 - damping) / n
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var r = Array.fill(n)(1.0 / n)
+    var iters = 0
+    var rdiff = 1.0
+    while (iters < itermax && rdiff > tol) {
+      val t = r
+      val w = (0 until n).map(i => outDeg.get(i.toLong).map(d => t(i) * damping / d))
+      r = Array.fill(n)(teleport)
+      edges.foreach { case (s, d) => w(s.toInt).foreach(x => r(d.toInt) += x) }
+      rdiff = (0 until n).map(i => math.abs(t(i) - r(i))).sum
+      iters += 1
+    }
+    (r, iters)
+  }
+
+  test("PageRank matches the exact pagerank_3f recurrence to 1e-6 (5-node demo)") {
+    val adj = Adjacency.build(prEdges.toDF("src", "dst"), 5, 4)
+    val res = PageRank.run(spark, adj, damping = 0.85, tol = 1e-4, maxIter = 100)
+    val (want, wantIters) = pagerank3fLocal(5, prEdges, 0.85, 1e-4, 100)
+    val got = res.scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 5)
+    assert(res.iterations == wantIters)
+    (0 until 5).foreach { i =>
+      assert(math.abs(got(i.toLong) - want(i)) < 1e-6,
+        s"vertex $i: got ${got(i.toLong)}, want ${want(i)}")
+    }
+  }
+
+  test("PageRank on a seeded random graph with sinks and hubs (allclose 1e-6)") {
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    val edges = (for (_ <- 0 until 900) yield {
+      val s = rnd.nextInt(n - 20).toLong // last 20 vertices are sinks
+      val d = (rnd.nextInt(n * n) % n).toLong * rnd.nextInt(n) % n
+      (s, d)
+    }).distinct.filter { case (s, d) => s != d }
+    val adj = Adjacency.build(edges.toDF("src", "dst"), n, 4, maxChunk = 8)
+    val res = PageRank.run(spark, adj, damping = 0.85, tol = 1e-6, maxIter = 200)
+    val (want, _) = pagerank3fLocal(n, edges, 0.85, 1e-6, 200)
+    val got = res.scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until n).foreach { i =>
+      assert(math.abs(got(i.toLong) - want(i)) < 1e-6)
+    }
+  }
+
+  // FastSV fixture (notebooks/Connected Components -- FastSV.ipynb):
+  // 12 nodes, 11 undirected edges; components {0..5}→0, {6,7,8}→6, {9,10,11}→9
+  val ccEdges: Seq[(Long, Long)] = Seq(
+    (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 4L), (2L, 5L), (3L, 4L),
+    (6L, 7L), (6L, 8L), (9L, 10L), (9L, 11L))
+
+  def sym(e: Seq[(Long, Long)]) =
+    (e ++ e.map(_.swap)).distinct.toDF("src", "dst")
+
+  test("FastSV connected components: exact min-label components") {
+    val res = ConnectedComponents.run(spark, sym(ccEdges), 12, 4)
+    val got = res.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L, 10L -> 9L, 11L -> 9L)
+    assert(got == want)
+  }
+
+  test("FastSV handles isolated vertices and a path graph (worst case for hooking)") {
+    // path 0-1-2-...-9 plus isolated 10..14
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val res = ConnectedComponents.run(spark, sym(path), 15, 4)
+    val got = res.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(i => assert(got(i) == 0L))
+    (10L until 15L).foreach(i => assert(got(i) == i))
+    assert(res.iterations <= 6) // log-round convergence, not diameter rounds
+  }
+
+  test("label propagation reaches the same fixed point as CC") {
+    val res = LabelPropagation.run(spark, sym(ccEdges), 12, 4)
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ConnectedComponents.run(spark, sym(ccEdges), 12, 4)
+      .components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("triangle count: masked plus_pair square (naive oracle)") {
+    // symmetrized CC fixture: triangles {0,1,2}, {2,3,4}? check naive
+    val es = (ccEdges ++ ccEdges.map(_.swap)).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var naive = 0L
+    for (i <- nodes; j <- nodes if j > i; k <- nodes if k > j)
+      if (es((i, j)) && es((j, k)) && es((i, k))) naive += 1
+    val got = TriangleCount.count(sym(ccEdges))
+    assert(got == naive)
+    assert(naive == 1) // exactly {0,1,2}
+    // reduce_scalar(plus) over the masked square C(L.S) = L·Lᵀ counts each
+    // triangle exactly once (k < j < i), so Σ C == triangle count
+    val support = TriangleCount.support(sym(ccEdges), 12)
+      .agg(sum("v")).collect()(0).getDouble(0)
+    assert(support == naive.toDouble)
+  }
+
+  test("BFS levels: exact hop counts") {
+    val edges = prEdges.toDF("src", "dst")
+    val got = BFS.levels(spark, edges, 0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Per-operator unit tests on the reference's own fixtures:
+  * the canonical 7×7 matrix A and size-7 vector v
+  * (`/root/reference/graphblas/tests/test_matrix.py:34-55`), and the
+  * ewise micro-vectors of `docs/user_guide/operators.rst:341-358`
+  * (the missing-vs-zero contract). Expected outputs are computed with naive
+  * driver-side Scala over Maps — an independent oracle for the distributed
+  * kernels.
+  */
+class KernelSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // 7×7 fixture A (test_matrix.py:34-49)
+  val aCoo: Seq[(Long, Long, Double)] = Seq(
+    (3, 0, 3), (0, 1, 2), (3, 2, 3), (5, 2, 1), (6, 2, 5), (0, 3, 3),
+    (6, 3, 7), (1, 4, 8), (6, 4, 3), (2, 5, 1), (4, 5, 7), (1, 6, 4)
+  ).map { case (r, c, v) => (r.toLong, c.toLong, v.toDouble) }
+  val aMap: Map[(Long, Long), Double] = aCoo.map { case (r, c, v) => (r, c) -> v }.toMap
+
+  // size-7 fixture v (test_matrix.py:52-55)
+  val vPairs: Seq[(Long, Double)] = Seq((1L, 1.0), (3L, 1.0), (4L, 2.0), (6L, 0.0))
+  val vMap: Map[Long, Double] = vPairs.toMap
+
+  def matA: GrbMatrix = GrbMatrix.fromCoo(spark, aCoo, GrbShape(7, 7))
+  def vecV: GrbVector = GrbVector.fromPairs(spark, vPairs, 7)
+
+  def collectV(v: GrbVector): Map[Long, Double] =
+    v.df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  def collectM(m: GrbMatrix): Map[(Long, Long), Double] =
+    m.df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("mxv plus_times matches naive SpMV (GrB_mxv, matrix.py:2203)") {
+    val got = collectV(matA.mxv(vecV, Ops.plusTimes))
+    val want = (0L until 7).flatMap { i =>
+      val terms = (0L until 7).flatMap(j => for {
+        a <- aMap.get((i, j)); x <- vMap.get(j)
+      } yield a * x)
+      if (terms.isEmpty) None else Some(i -> terms.sum)
+    }.toMap
+    assert(got == want)
+    assert(!got.contains(5L)) // row 5 only hits col 2, v(2) missing → absent
+  }
+
+  test("mxm plus_times matches naive triple loop (GrB_mxm, matrix.py:2264)") {
+    val got = collectM(matA.mxm(matA, Ops.plusTimes))
+    val want = (for {
+      i <- 0L until 7; j <- 0L until 7
+      terms = (0L until 7).flatMap(k =>
+        for { a <- aMap.get((i, k)); b <- aMap.get((k, j)) } yield a * b)
+      if terms.nonEmpty
+    } yield (i, j) -> terms.sum).toMap
+    assert(got == want)
+  }
+
+  test("mxm with structural mask == unmasked then filtered (mask pushdown)") {
+    val mask = matA.structureMask()
+    val masked = collectM(matA.mxm(matA, Ops.plusTimes, Some(mask)))
+    val unmasked = collectM(matA.mxm(matA, Ops.plusTimes))
+    assert(masked == unmasked.filter { case (k, _) => aMap.contains(k) })
+  }
+
+  test("transpose is index swap (matrix.py:3825)") {
+    assert(collectM(matA.transpose) == aMap.map { case ((i, j), v) => (j, i) -> v })
+  }
+
+  test("vxm == transpose-mxv orientation (vector.py:1309)") {
+    val got = collectV(vecV.vxm(matA, Ops.plusTimes))
+    val want = collectV(matA.transpose.mxv(vecV, Ops.plusTimes))
+    assert(got == want)
+  }
+
+  // ewise micro-vectors (operators.rst:341-358): missing-vs-zero contract
+  val ew1 = Seq((0L, 1.0), (2L, 2.0), (3L, 3.5), (5L, 9.0))
+  val ew2 = Seq((0L, 7.0), (1L, 5.2), (3L, 3.0), (5L, 2.5))
+
+  test("ewise_mult is intersection (operations.rst:156)") {
+    val a = GrbVector.fromPairs(spark, ew1, 6)
+    val b = GrbVector.fromPairs(spark, ew2, 6)
+    assert(collectV(a.ewiseMult(b, Ops.times)) ==
+      Map(0L -> 7.0, 3L -> 10.5, 5L -> 22.5))
+  }
+
+  test("ewise_add is union; singletons pass through UNCHANGED for non-commutative ops (operations.rst:236-247)") {
+    val a = GrbVector.fromPairs(spark, ew1, 6)
+    val b = GrbVector.fromPairs(spark, ew2, 6)
+    val got = collectV(a.ewiseAdd(b, Ops.minus))
+    // overlaps subtracted; singletons NOT negated (the spec quirk)
+    assert(got == Map(0L -> -6.0, 1L -> 5.2, 2L -> 2.0, 3L -> 0.5, 5L -> 6.5))
+  }
+
+  test("ewise_union fills per-side defaults (matrix.py:2043)") {
+    val a = GrbVector.fromPairs(spark, ew1, 6)
+    val b = GrbVector.fromPairs(spark, ew2, 6)
+    val got = collectV(a.ewiseUnion(b, Ops.minus, lit(0.0), lit(0.0)))
+    assert(got == Map(0L -> -6.0, 1L -> -5.2, 2L -> 2.0, 3L -> 0.5, 5L -> 6.5))
+  }
+
+  test("apply / select / reduce family") {
+    assert(collectV(vecV.apply(Ops.ainv)) ==
+      vMap.map { case (k, v) => k -> -v })
+    assert(collectV(vecV.select((v, _) => v > 0.5)) ==
+      vMap.filter(_._2 > 0.5))
+    // select on matrix: tril (indexunary.py:101)
+    assert(collectM(matA.select((_, i, j) => j < i)) ==
+      aMap.filter { case ((i, j), _) => j < i })
+    assert(matA.reduceScalar(Ops.plusMonoid) == Some(aCoo.map(_._3).sum))
+    assert(collectV(matA.reduceRowwise(Ops.maxMonoid)) ==
+      aMap.groupBy(_._1._1).map { case (i, m) => i -> m.values.max })
+    // empty reduce → None (Scalar is_empty, scalar.py:317)
+    assert(vecV.select((v, _) => v > 100.0).reduce(Ops.plusMonoid).isEmpty)
+  }
+
+  test("monoid reduce: times monoid handles zeros and signs") {
+    val v = GrbVector.fromPairs(spark, Seq((0L, 2.0), (1L, -3.0), (2L, 4.0)), 4)
+    val got = v.reduce(Ops.timesMonoid).get.asInstanceOf[Double]
+    assert(math.abs(got - -24.0) < 1e-9)
+    val withZero = GrbVector.fromPairs(spark, Seq((0L, 2.0), (1L, 0.0)), 4)
+    assert(withZero.reduce(Ops.timesMonoid).get.asInstanceOf[Double] == 0.0)
+  }
+
+  test("write clause: mask + accum + replace semantics (fundamentals.rst:14-38)") {
+    val c = Seq((0L, 10.0), (1L, 10.0), (2L, 10.0)).toDF("id", "v")
+    val t = Seq((1L, 1.0), (3L, 1.0)).toDF("id", "v")
+    val mask = GrbMask(Seq(Tuple1(1L), Tuple1(2L)).toDF("id"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // no accum: inside mask C := T (2 deleted — T absent there); outside kept
+    assert(m(Kernels.write(c, t, Seq("id"), Some(mask))) ==
+      Map(0L -> 10.0, 1L -> 1.0))
+    // accum plus: overlap combined, outside-mask untouched
+    assert(m(Kernels.write(c, t, Seq("id"), Some(mask), Some(Ops.plus))) ==
+      Map(0L -> 10.0, 1L -> 11.0, 2L -> 10.0))
+    // replace: outside-mask old values dropped
+    assert(m(Kernels.write(c, t, Seq("id"), Some(mask), Some(Ops.plus), replace = true)) ==
+      Map(1L -> 11.0, 2L -> 10.0))
+    // complemented mask: write region = NOT {1,2} → 0 deleted (T absent
+    // there), 3 written; {1,2} keep old values
+    assert(m(Kernels.write(c, t, Seq("id"), Some(GrbMask(mask.keys, complement = true)))) ==
+      Map(1L -> 10.0, 2L -> 10.0, 3L -> 1.0))
+  }
+
+  test("extract with index remap (GrB_Matrix_extract, operations.rst:352-420)") {
+    // A[[1,3,6], [2,4]] → 3×2 with dense remap
+    val rowMap = Seq((1L, 0L), (3L, 1L), (6L, 2L)).toDF("old", "new")
+    val colMap = Seq((2L, 0L), (4L, 1L)).toDF("old", "new")
+    val got = collectM(matA.extract(rowMap, colMap, GrbShape(3, 2)))
+    assert(got == Map((0L, 1L) -> 8.0, (2L, 0L) -> 5.0, (2L, 1L) -> 3.0, (1L, 0L) -> 3.0))
+  }
+
+  test("scatter-assign reduces duplicate targets by accum (FastSV Reduce_assign)") {
+    val base = GrbVector.fromPairs(spark, Seq((0L, 5.0), (1L, 5.0)), 3)
+    val u = GrbVector.fromPairs(spark, Seq((0L, 3.0), (1L, 7.0), (2L, 1.0)), 3)
+    // targets: 0→1, 1→1 (duplicate!), 2→2 ; min-dedup then min-merge
+    val targets = Seq((0L, 1L), (1L, 1L), (2L, 2L)).toDF("id", "target")
+    val got = collectV(base.scatterAssign(targets, u, min, Ops.minBin))
+    assert(got == Map(0L -> 5.0, 1L -> 3.0, 2L -> 1.0))
+  }
+
+  test("diag / reposition / kronecker index arithmetic") {
+    assert(collectV(matA.diag(1)) ==
+      aMap.collect { case ((i, j), v) if j == i + 1 => i -> v })
+    val rep = collectM(matA.reposition(1, 0))
+    assert(rep == aMap.collect { case ((i, j), v) if i + 1 < 7 => (i + 1, j) -> v })
+    val tiny = GrbMatrix.fromCoo(spark, Seq((0L, 1L, 2.0), (1L, 0L, 3.0)), GrbShape(2, 2))
+    val kron = collectM(tiny.kronecker(tiny, Ops.times))
+    assert(kron == Map((0L, 3L) -> 4.0, (1L, 2L) -> 6.0, (2L, 1L) -> 6.0, (3L, 0L) -> 9.0))
+  }
+
+  test("isclose-style comparator: mxv at two partitionings agrees to 1e-6") {
+    val a = matA
+    val r1 = collectV(a.mxv(vecV, Ops.plusTimes))
+    val r2 = collectV(GrbMatrix(a.df.repartition(7), a.shape).mxv(vecV, Ops.plusTimes))
+    assert(r1.keySet == r2.keySet)
+    r1.foreach { case (k, x) =>
+      assert(math.abs(x - r2(k)) <= 1e-6 * math.max(math.abs(x), math.abs(r2(k))) + 1e-12)
+    }
+  }
+}

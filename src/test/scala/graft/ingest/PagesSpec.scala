@@ -1,0 +1,98 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import graft.pipeline.Media
+import graft.runtime.IterationCheckpointer
+import graft.algos.PageRank
+import graft.graph.Adjacency
+
+/** Ingest invariants (BASELINE.json input_hint): byte-identical text per
+  * url, deterministic generation independent of partitioning, dense sorted
+  * id mapping, href→edge extraction; plus checkpoint/resume and the media
+  * decode-stub plumbing. */
+class PagesSpec extends AnyFunSuite with SparkTest {
+
+  test("extracted text is byte-identical per url (sha2 over UTF-8 bytes)") {
+    val pages = Pages.synthesize(spark, 500, nSites = 30).cache()
+    val orig = pages.select(col("url"), sha2(encode(col("text"), "UTF-8"), 256).as("h1"))
+    val extr = Pages.extractText(pages)
+      .select(col("url"), sha2(encode(col("text"), "UTF-8"), 256).as("h2"))
+    val joined = orig.join(extr, "url")
+    assert(joined.count() == 500)
+    assert(joined.filter(col("h1") =!= col("h2")).count() == 0)
+  }
+
+  test("generation is deterministic and partitioning-independent") {
+    val a = Pages.synthesize(spark, 200, nSites = 10)
+      .select("url", "text", "lang").repartition(1)
+    val b = Pages.synthesize(spark, 200, nSites = 10)
+      .select("url", "text", "lang").repartition(7)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("id map is a dense 0..n-1 permutation in sorted-url order") {
+    val pages = Pages.synthesize(spark, 300, nSites = 20)
+    val ids = Pages.idMap(pages).cache()
+    assert(ids.count() == 300)
+    assert(ids.agg(min("id")).collect()(0).getLong(0) == 0)
+    assert(ids.agg(max("id")).collect()(0).getLong(0) == 299)
+    assert(ids.select("id").distinct().count() == 300)
+    // order-preserving: id ordering == url ordering
+    val rows = ids.orderBy("id").collect().map(_.getString(0))
+    assert(rows.sameElements(rows.sorted))
+  }
+
+  test("edges: every extracted href resolves to an in-universe id pair") {
+    val pages = Pages.synthesize(spark, 300, nSites = 20).cache()
+    val ids = Pages.idMap(pages)
+    val edges = Pages.edges(pages, ids).cache()
+    val n = edges.count()
+    assert(n > 300) // ~10 links/page, minus dupes/self
+    val bad = edges.filter(col("src") < 0 || col("src") > 299 ||
+      col("dst") < 0 || col("dst") > 299).count()
+    assert(bad == 0)
+    // links in html == links extracted (extraction is lossless)
+    val htmlLinks = pages.select(explode(regexp_extract_all(
+      decode(col("html"), "UTF-8"), lit("href=\"([^\"]+)\""), lit(1)))).count()
+    val rawLinks = Pages.extractLinks(pages).count()
+    assert(htmlLinks == rawLinks)
+  }
+
+  test("checkpoint/resume: PageRank resumes from snapshot and converges identically") {
+    import graft.SparkTestSession
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pages = Pages.synthesize(spark, 200, nSites = 10)
+    val ids = Pages.idMap(pages)
+    val adj = Adjacency.build(Pages.edges(pages, ids), 200, 4)
+    val full = PageRank.run(spark, adj, tol = 0.0, maxIter = 12)
+    // run 5 iterations with checkpointing, then resume to iteration 12
+    PageRank.run(spark, adj, tol = 0.0, maxIter = 5,
+      checkpointer = Some(new IterationCheckpointer(dir)))
+    val resumed = PageRank.run(spark, adj, tol = 0.0, maxIter = 12,
+      checkpointer = Some(new IterationCheckpointer(dir)))
+    assert(resumed.iterations == full.iterations)
+    val f = full.scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val g = resumed.scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    f.foreach { case (k, v) => assert(math.abs(v - g(k)) < 1e-9) }
+    // manifest carries per-partition lineage
+    val manifests = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("manifest_"))
+    assert(manifests.nonEmpty)
+    val txt = new String(java.nio.file.Files.readAllBytes(manifests.head.toPath))
+    assert(txt.contains("\"partitions\"") && txt.contains("\"rows\""))
+  }
+
+  test("media decode stub: schema and deterministic per-row features") {
+    val pages = Pages.synthesize(spark, 50, nSites = 5)
+      .select(monotonically_increasing_id().as("key"), col("html"))
+    val dec = Media.decodeStub(pages, "html", "key").cache()
+    assert(dec.count() == 50)
+    assert(dec.schema.fieldNames.toSeq ==
+      Seq("key", "n_bytes", "fake_width", "fake_height", "fake_mean_luma"))
+    // '<' == 0x3c == 60 → fake_width = 160 + 60
+    assert(dec.filter(col("fake_width") =!= 220).count() == 0)
+    assert(dec.filter(col("fake_mean_luma") <= 0 || col("fake_mean_luma") >= 1).count() == 0)
+  }
+}
