@@ -13,6 +13,9 @@ object BFS {
              maxDepth: Int = 64): DataFrame = {
     import spark.implicits._
     import graft.core.Ckpt
+    // frontier expansion joins on src every round — persist pre-partitioned
+    val e = edges.repartition(col("src")).persist()
+    e.count()
     var visited = Ckpt.materialize(Seq((source, 0L)).toDF("id", "level"))
     var frontier = visited.df.select(col("id"))
     var lastNext: Option[graft.core.CkptState] = None
@@ -21,8 +24,8 @@ object BFS {
     while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
       val next = Ckpt.materialize(
-        edges.join(frontier, edges("src") === frontier("id"))
-          .select(edges("dst").as("id")).distinct()
+        e.join(frontier, e("src") === frontier("id"))
+          .select(e("dst").as("id")).distinct()
           .join(visited.df, Seq("id"), "left_anti") // mask: ~visited.S
           .select(col("id"), lit(depth).as("level")))
       frontierSize = next.df.count()
@@ -34,6 +37,7 @@ object BFS {
       frontier = next.df.select(col("id"))
     }
     lastNext.foreach(_.release())
+    e.unpersist()
     visited.df
   }
 }

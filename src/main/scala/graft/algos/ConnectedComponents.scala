@@ -28,11 +28,13 @@ object ConnectedComponents {
 
   def run(spark: SparkSession, edgesSym: DataFrame, n: Long, numPartitions: Int,
           maxIter: Int = 64): CCResult = {
-    val vertices = spark.range(n).select(col("id"))
-      .repartition(numPartitions, col("id")).persist()
-    vertices.count()
+    // persist edges hash-partitioned on dst: the per-round min_second gather
+    // joins on dst, so the (big) edge side is shuffled exactly once here
+    val edges = edgesSym.repartition(numPartitions, col("dst")).persist()
+    edges.count()
 
-    var fState = Ckpt.materialize(vertices.select(col("id"), col("id").as("v")))
+    var fState = Ckpt.materialize(
+      spark.range(n).select(col("id"), col("id").as("v")))
     var gpState = fState      // f is the identity map, so gp = f(f) = f
     var iter = 0
     var changed = true
@@ -45,7 +47,7 @@ object ConnectedComponents {
       val gp = gpState.df
       // mngp(i) = min_{j in N(i)} gp(j)   [min_second semiring mxv]
       val gpl = gp.select(col("id").as("_j"), col("v").as("_gp"))
-      val mngp = edgesSym.join(gpl, col("dst") === col("_j"))
+      val mngp = edges.join(gpl, col("dst") === col("_j"))
         .groupBy(col("src").as("id")).agg(min(col("_gp")).as("v"))
 
       // hooking: f[fOld(i)] min= mngp(i); duplicate targets reduced by min
@@ -58,17 +60,18 @@ object ConnectedComponents {
       f1 = minMerge(f1, gp)       // shortcut: f = min(f, gp)
       val newFState = Ckpt.materialize(f1)
 
-      // gp = f[f]
+      // gp = f[f], with the change flag (gp_new != gp) fused into the same
+      // materialization job   [notebook: ne(gp_dup & gp) + lor reduce]
       val nf = newFState.df
       val f2 = nf.select(col("id").as("_k"), col("v").as("_gv"))
-      val newGpState = Ckpt.materialize(
-        nf.join(f2, nf("v") === col("_k")).select(nf("id"), col("_gv").as("v")))
-
-      // change = lor-reduce of (gp_new != gp)   [notebook: ne(gp_dup & gp)]
-      val prev = gp.select(col("id"), col("v").as("_pv"))
-      changed = newGpState.df.join(prev, "id")
-        .agg(max(when(col("v") =!= col("_pv"), 1).otherwise(0)).as("c"))
-        .collect()(0).getInt(0) == 1
+      val prev = gp.select(col("id").as("_pid"), col("v").as("_pv"))
+      val gpPlan = nf.join(f2, nf("v") === col("_k"))
+        .select(nf("id"), col("_gv").as("v"))
+        .join(prev, col("id") === col("_pid"))
+        .select(col("id"), col("v"),
+          when(col("v") =!= col("_pv"), 1.0).otherwise(0.0).as("_chg"))
+      val (newGpState, nChanged) = Ckpt.materializeWithSum(gpPlan, "_chg")
+      changed = nChanged > 0
 
       // this round's inputs are no longer referenced — free their blocks
       Seq(fState, gpState).distinct.foreach(_.release())
@@ -76,7 +79,7 @@ object ConnectedComponents {
       gpState = newGpState
       iter += 1
     }
-    vertices.unpersist()
+    edges.unpersist()
     CCResult(fState.df.select(col("id"), col("v").as("component")), iter)
   }
 }

@@ -21,30 +21,31 @@ object LabelPropagation {
 
   def run(spark: SparkSession, edgesSym: DataFrame, n: Long, numPartitions: Int,
           maxIter: Int = 1000): LPResult = {
-    val vertices = spark.range(n).select(col("id"))
-      .repartition(numPartitions, col("id")).persist()
-    vertices.count()
-    var state = Ckpt.materialize(vertices.select(col("id"), col("id").as("v")))
+    // edge side of the per-round gather join persisted pre-partitioned on dst
+    val edges = edgesSym.repartition(numPartitions, col("dst")).persist()
+    edges.count()
+    var state = Ckpt.materialize(
+      spark.range(n).select(col("id"), col("id").as("v")))
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
       val l = state.df
       // nl(i) = min_{j in N(i)} l(j)   [min_second mxv]
       val ll = l.select(col("id").as("_j"), col("v").as("_lv"))
-      val nl = edgesSym.join(ll, col("dst") === col("_j"))
+      val nl = edges.join(ll, col("dst") === col("_j"))
         .groupBy(col("src").as("id")).agg(min(col("_lv")).as("v"))
-      // accumulate: l = min(l, nl), and count changed labels in one pass
+      // accumulate: l = min(l, nl); changed-count fused into the same job
       val merged = Kernels.ewiseAddDF(l.select(col("id"), col("v")), nl, Seq("id"), Ops.minBin)
       val prev = l.select(col("id"), col("v").as("_pv"))
-      val newState = Ckpt.materialize(merged.join(prev, "id"))
-      changed = newState.df
-        .agg(max(when(col("v") =!= col("_pv"), 1).otherwise(0)).as("c"))
-        .collect()(0).getInt(0) == 1
+      val stepped = merged.join(prev, "id")
+        .withColumn("_chg", when(col("v") =!= col("_pv"), 1.0).otherwise(0.0))
+      val (newState, nChanged) = Ckpt.materializeWithSum(stepped, "_chg")
+      changed = nChanged > 0
       state.release()
       state = newState
       iter += 1
     }
-    vertices.unpersist()
+    edges.unpersist()
     LPResult(state.df.select(col("id"), col("v").as("label")), iter)
   }
 }

@@ -44,15 +44,11 @@ object PageRank {
     val teleport = (1.0 - damping) / n
     val p = adj.numPartitions
 
-    val vertices = spark.range(n).select(col("id"))
-      .repartition(p, col("id")).persist()
-    vertices.count()
-
     // Resume from the latest checkpoint if one exists (resumable runs).
     val (startIter, startScores) = checkpointer.flatMap(_.latest(spark)) match {
       case Some((it, df)) => (it, df.repartition(p, col("id")))
       case None =>
-        (0, vertices.select(col("id"), lit(1.0 / n).as("v")))
+        (0, spark.range(n).select(col("id"), lit(1.0 / n).as("v")))
     }
 
     var state = Ckpt.materialize(startScores)
@@ -66,22 +62,23 @@ object PageRank {
         .select(explode(col("dsts")).as("dst"),
                 (col("v") * damping / col("deg")).as("c"))
       val gathered = contrib.groupBy("dst").agg(sum(col("c")).as("g"))
-      // dense completion (r[:] = teleport, then accum plus) + rdiff in one pass
-      val tOld = t.select(col("id").as("_oid"), col("v").as("_ov"))
-      val steppedPlan = vertices
-        .join(gathered, vertices("id") === gathered("dst"), "left_outer")
-        .select(col("id"), (lit(teleport) + coalesce(col("g"), lit(0.0))).as("v"))
-        .join(tOld, col("id") === col("_oid"))
-        .select(col("id"), col("v"), abs(col("v") - col("_ov")).as("_d"))
-      val newState = Ckpt.materialize(steppedPlan)
-      rdiff = newState.df.agg(sum(col("_d"))).collect()(0).getDouble(0)
+      // dense completion (r[:] = teleport, then accum plus) + rdiff in ONE
+      // left-outer join: the old score vector IS the dense id universe, so
+      // no separate vertices join is needed
+      val steppedPlan = t.select(col("id"), col("v").as("_ov"))
+        .join(gathered, col("id") === gathered("dst"), "left_outer")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("g"), lit(0.0))).as("v"),
+          abs(lit(teleport) + coalesce(col("g"), lit(0.0)) - col("_ov")).as("_d"))
+      // fused: one job materializes the new scores AND sums |t - r|
+      val (newState, d) = Ckpt.materializeWithSum(steppedPlan, "_d")
+      rdiff = d
       state.release()
       state = newState
       t = newState.df.select(col("id"), col("v"))
       iter += 1
       checkpointer.foreach(_.save(t, iter, Map("rdiff" -> rdiff.toString)))
     }
-    vertices.unpersist()
     PageRankResult(t, iter, adj.numEdges * iter.toLong, rdiff)
   }
 }

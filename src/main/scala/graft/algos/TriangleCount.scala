@@ -19,15 +19,20 @@ object TriangleCount {
 
   /** edgesSym: symmetric deduplicated (src, dst), no self-loops. */
   def count(edgesSym: DataFrame): Long = {
-    val l = edgesSym.filter(col("src") > col("dst")).select(col("src"), col("dst"))
-    // mask-first: for each mask edge (i,j) in L, count common lower
-    // neighbors k (k<j<i): L(i,k) ∧ L(j,k).
-    val m = l.select(col("src").as("_i"), col("dst").as("_j"))
-    val a = l.select(col("src").as("_i"), col("dst").as("_k"))
-    val b = l.select(col("src").as("_j2"), col("dst").as("_k2"))
-    m.join(a, "_i")
-      .join(b, col("_j") === col("_j2") && col("_k") === col("_k2"))
-      .count()
+    // L appears three times in the join — cache it so the (possibly derived)
+    // edge input is scanned and deduplicated once, not three times
+    val l = edgesSym.filter(col("src") > col("dst"))
+      .select(col("src"), col("dst")).persist()
+    try {
+      // mask-first: for each mask edge (i,j) in L, count common lower
+      // neighbors k (k<j<i): L(i,k) ∧ L(j,k).
+      val m = l.select(col("src").as("_i"), col("dst").as("_j"))
+      val a = l.select(col("src").as("_i"), col("dst").as("_k"))
+      val b = l.select(col("src").as("_j2"), col("dst").as("_k2"))
+      m.join(a, "_i")
+        .join(b, col("_j") === col("_j2") && col("_k") === col("_k2"))
+        .count()
+    } finally l.unpersist(false)
   }
 
   /** Per-edge triangle support: the masked plus_pair square itself,

@@ -17,7 +17,14 @@ final case class CkptState(df: DataFrame, private val rdd: RDD[InternalRow]) {
 
 object Ckpt {
   def materialize(df: DataFrame): CkptState = {
-    val (flat, rdd) = GraftSqlShims.cachedDataFrame(df)
+    val (flat, rdd, _) = GraftSqlShims.cachedDataFrame(df)
     CkptState(flat, rdd)
+  }
+
+  /** Materialize AND sum a double column in the same pass (fused convergence
+    * metric — one job per iteration instead of two). */
+  def materializeWithSum(df: DataFrame, sumCol: String): (CkptState, Double) = {
+    val (flat, rdd, s) = GraftSqlShims.cachedDataFrame(df, sumColumn = Some(sumCol))
+    (CkptState(flat, rdd), s)
   }
 }

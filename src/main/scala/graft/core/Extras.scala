@@ -1,0 +1,193 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Comparison, power, and the `ss.*` positional utilities
+  * (SURVEY.md §2.2/§2.5/§2.7) as extension methods over the core types. */
+object Extras {
+
+  /** Aggregator catalog (reference `graphblas/core/operator/agg.py`):
+    * monoid folds, semiring recipes, and composite/finalized aggregators,
+    * all as single Catalyst aggregate expressions. */
+  val aggregators: Map[String, Column => Column] = Map(
+    "sum" -> (sum(_)),
+    "prod" -> (c => Ops.timesMonoid.agg(c)),
+    "all" -> (c => bool_and(c.cast("boolean"))),
+    "any" -> (c => bool_or(c.cast("boolean"))),
+    "min" -> (min(_)),
+    "max" -> (max(_)),
+    "any_value" -> (first(_)),
+    "count" -> (c => count(c)),
+    "count_nonzero" -> (c => count(when(c =!= 0, 1))),
+    "count_zero" -> (c => count(when(c === 0, 1))),
+    "sum_of_squares" -> (c => sum(c * c)),
+    "sum_of_inverses" -> (c => sum(lit(1.0) / c)),
+    "exists" -> (c => when(count(c) > 0, lit(1)).otherwise(lit(1))),
+    "hypot" -> (c => sqrt(sum(c * c))),
+    "logaddexp" -> (c => log(sum(exp(c)))),
+    "logaddexp2" -> (c => log2(sum(pow(lit(2.0), c)))),
+    "L0norm" -> (c => count(when(c =!= 0, 1)).cast("double")),
+    "L1norm" -> (c => sum(abs(c))),
+    "L2norm" -> (c => sqrt(sum(c * c))),
+    "Linfnorm" -> (c => max(abs(c))),
+    "mean" -> (avg(_)),
+    "peak_to_peak" -> (c => max(c) - min(c)),
+    "varp" -> (var_pop(_)),
+    "vars" -> (var_samp(_)),
+    "stdp" -> (stddev_pop(_)),
+    "stds" -> (stddev_samp(_)),
+    "geometric_mean" -> (c => exp(avg(log(c)))),
+    "harmonic_mean" -> (c => count(c).cast("double") / sum(lit(1.0) / c)),
+    "root_mean_square" -> (c => sqrt(avg(c * c))),
+    // positional (reference ss.argmin/argmax/first/last, agg.py:533-733):
+    // min_by/max_by and first/last over a defined sort
+    "argmin" -> (c => min_by(col(Names.ID), c)),
+    "argmax" -> (c => max_by(col(Names.ID), c)),
+    "first" -> (c => min_by(c, col(Names.ID))),
+    "last" -> (c => max_by(c, col(Names.ID))),
+    "first_index" -> (_ => min(col(Names.ID))),
+    "last_index" -> (_ => max(col(Names.ID))))
+
+  implicit final class MatrixExtras(private val m: GrbMatrix) extends AnyVal {
+    import Names._
+
+    /** whole-collection equality incl. structure (`matrix.py:373`) */
+    def isequal(other: GrbMatrix): Boolean =
+      m.shape == other.shape && isCloseCount(other, exact = true) == 0
+
+    /** isclose (`matrix.py:417-461`): same structure AND
+      * |a-b| <= max(rel*max(|a|,|b|), abs) per element */
+    def isclose(other: GrbMatrix, relTol: Double = 1e-7, absTol: Double = 0.0): Boolean =
+      m.shape == other.shape &&
+        isCloseCount(other, exact = false, relTol, absTol) == 0
+
+    private def isCloseCount(other: GrbMatrix, exact: Boolean,
+                             relTol: Double = 0, absTol: Double = 0): Long = {
+      val a = m.df.select(col(SRC), col(DST), col(V).as("_va"), lit(true).as("_pa"))
+      val b = other.df.select(col(SRC), col(DST), col(V).as("_vb"), lit(true).as("_pb"))
+      val j = a.join(b, Seq(SRC, DST), "full_outer")
+      val bad =
+        if (exact) j.filter(col("_pa").isNull || col("_pb").isNull || col("_va") =!= col("_vb"))
+        else j.filter(col("_pa").isNull || col("_pb").isNull ||
+          abs(col("_va") - col("_vb")) >
+            greatest(lit(relTol) * greatest(abs(col("_va")), abs(col("_vb"))), lit(absTol)))
+      bad.limit(1).count()
+    }
+
+    /** power(n) by repeated squaring (`matrix.py:2840`); n>=1; state
+      * re-materialized between squarings to keep plans flat. */
+    def power(n: Int, s: Semiring): GrbMatrix = {
+      require(n >= 1, "power(0) needs the monoid identity diagonal; use >= 1")
+      var result: Option[GrbMatrix] = None
+      var base = m
+      var k = n
+      while (k > 0) {
+        if ((k & 1) == 1)
+          result = Some(result.fold(base)(r => GrbMatrix(
+            Ckpt.materialize(r.mxm(base, s).df).df, r.shape)))
+        k >>= 1
+        if (k > 0) base = GrbMatrix(Ckpt.materialize(base.mxm(base, s).df).df, base.shape)
+      }
+      result.get
+    }
+
+    /** ss.selectk (`core/ss/matrix.py:3806`): k largest/smallest per row,
+      * deterministic tie-break on dst. */
+    def selectK(k: Int, largest: Boolean = true): GrbMatrix = {
+      val ord = if (largest) Seq(col(V).desc, col(DST)) else Seq(col(V).asc, col(DST))
+      val w = Window.partitionBy(SRC).orderBy(ord: _*)
+      GrbMatrix(m.df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k).drop("_rn"), m.shape)
+    }
+
+    /** ss.compactify (`core/ss/matrix.py:3869`): per-row squeeze of column
+      * indices to dense 0..k-1 keeping dst order. */
+    def compactify(): GrbMatrix = {
+      val w = Window.partitionBy(SRC).orderBy(DST)
+      GrbMatrix(m.df.withColumn("_rn", (row_number().over(w) - 1).cast("long"))
+        .select(col(SRC), col("_rn").as(DST), col(V)), m.shape)
+    }
+
+    /** ss.scan along rows (`core/ss/prefix_scan.py`): running monoid fold
+      * over each row in dst order — a Catalyst window frame replaces the
+      * reference's log-depth blocked algorithm. */
+    def scanRowwise(agg: Column => Column = sum): GrbMatrix = {
+      val w = Window.partitionBy(SRC).orderBy(DST)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      GrbMatrix(m.df.select(col(SRC), col(DST), agg(col(V)).over(w).as(V)), m.shape)
+    }
+
+    /** setdiag (`matrix.py:2905`): write value s on the k-th diagonal
+      * (merge semantics: overwrite existing, insert missing). */
+    def setdiag(s: Column, k: Long = 0): GrbMatrix = {
+      val n = math.min(m.shape.nrows, m.shape.ncols - k).max(0)
+      val spark = m.df.sparkSession
+      val diag = spark.range(n).select(col("id").as(SRC), (col("id") + k).as(DST), s.as(V))
+        .filter(col(DST) >= 0 && col(DST) < m.shape.ncols)
+      GrbMatrix(
+        m.df.join(diag.select(SRC, DST), Seq(SRC, DST), "left_anti").unionByName(diag),
+        m.shape)
+    }
+
+    /** ss.split (`core/ss/matrix.py:280`): tile decomposition by index range. */
+    def split(rowChunk: Long, colChunk: Long): Map[(Long, Long), GrbMatrix] = {
+      val tiles = for {
+        i <- 0L until (m.shape.nrows + rowChunk - 1) / rowChunk
+        j <- 0L until (m.shape.ncols + colChunk - 1) / colChunk
+      } yield (i, j)
+      tiles.map { case (ti, tj) =>
+        (ti, tj) -> GrbMatrix(
+          m.df.filter(col(SRC) >= ti * rowChunk && col(SRC) < (ti + 1) * rowChunk &&
+            col(DST) >= tj * colChunk && col(DST) < (tj + 1) * colChunk)
+            .select((col(SRC) - ti * rowChunk).as(SRC), (col(DST) - tj * colChunk).as(DST), col(V)),
+          GrbShape(math.min(rowChunk, m.shape.nrows - ti * rowChunk),
+            math.min(colChunk, m.shape.ncols - tj * colChunk)))
+      }.toMap
+    }
+  }
+
+  /** ss.concat (`gb.ss.concat`, `ss/_core.py:72`): block concat of tiles. */
+  def concat(tiles: Map[(Long, Long), GrbMatrix], rowChunk: Long, colChunk: Long): GrbMatrix = {
+    import Names._
+    val parts = tiles.map { case ((ti, tj), t) =>
+      t.df.select((col(SRC) + ti * rowChunk).as(SRC), (col(DST) + tj * colChunk).as(DST), col(V))
+    }
+    val nrows = tiles.keys.map(_._1).max * rowChunk +
+      tiles(tiles.keys.maxBy(_._1)).shape.nrows
+    val ncols = tiles.keys.map(_._2).max * colChunk +
+      tiles(tiles.keys.maxBy(_._2)).shape.ncols
+    GrbMatrix(parts.reduce(_ unionByName _), GrbShape(nrows, ncols))
+  }
+
+  implicit final class VectorExtras(private val v: GrbVector) extends AnyVal {
+    import Names._
+
+    def isequal(other: GrbVector): Boolean = {
+      val a = v.df.select(col(ID), col(V).as("_va"), lit(true).as("_pa"))
+      val b = other.df.select(col(ID), col(V).as("_vb"), lit(true).as("_pb"))
+      v.size == other.size &&
+        a.join(b, Seq(ID), "full_outer")
+          .filter(col("_pa").isNull || col("_pb").isNull || col("_va") =!= col("_vb"))
+          .limit(1).count() == 0
+    }
+
+    def isclose(other: GrbVector, relTol: Double = 1e-7, absTol: Double = 0.0): Boolean = {
+      val a = v.df.select(col(ID), col(V).as("_va"), lit(true).as("_pa"))
+      val b = other.df.select(col(ID), col(V).as("_vb"), lit(true).as("_pb"))
+      v.size == other.size &&
+        a.join(b, Seq(ID), "full_outer")
+          .filter(col("_pa").isNull || col("_pb").isNull ||
+            abs(col("_va") - col("_vb")) >
+              greatest(lit(relTol) * greatest(abs(col("_va")), abs(col("_vb"))), lit(absTol)))
+          .limit(1).count() == 0
+    }
+
+    /** aggregate with a named Aggregator from the catalog */
+    def aggregate(name: String): Option[Any] = {
+      val r = v.df.agg(aggregators(name)(col(V)).as("r")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.get(0))
+    }
+  }
+}

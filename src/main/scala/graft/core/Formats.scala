@@ -1,0 +1,88 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Construction / format-interchange family (SURVEY.md §2.1):
+  * the reference's from_csr/from_csc/from_dense/from_dicts/to_coo and the
+  * ss.import/export formats collapse, Spark-side, to conversions between
+  * the edge-list DataFrame and the packed CSR-bucket layout, plus small
+  * driver-side conveniences for tests.
+  */
+object Formats {
+
+  /** from_csr (`matrix.py:1071`): packed rows (src, dsts[], vals[]) → COO.
+    * posexplode keeps the within-row position so values line up. */
+  def fromCsrBuckets(packed: DataFrame): DataFrame =
+    packed.select(col("src"), posexplode(arrays_zip(col("dsts"), col("vals"))))
+      .select(col("src"), col("col.dsts").as("dst"), col("col.vals").as("v"))
+
+  /** to_csr (`matrix.py:1647`): COO → packed rows, dsts sorted per src. */
+  def toCsrBuckets(coo: DataFrame): DataFrame =
+    coo.groupBy("src")
+      .agg(sort_array(collect_list(struct(col("dst"), col("v")))).as("_z"))
+      .select(col("src"), col("_z.dst").as("dsts"), col("_z.v").as("vals"))
+
+  /** from_dense (`matrix.py:1398`): local 2-D array (row-major) with an
+    * optional missing sentinel → sparse COO DataFrame. Driver-side (test
+    * fixtures only). */
+  def fromDense(spark: SparkSession, rows: Seq[Seq[Double]],
+                missing: Option[Double] = None): GrbMatrix = {
+    val triples = for {
+      (r, i) <- rows.zipWithIndex
+      (v, j) <- r.zipWithIndex
+      if !missing.contains(v)
+    } yield (i.toLong, j.toLong, v)
+    GrbMatrix.fromCoo(spark, triples, GrbShape(rows.size, if (rows.isEmpty) 0 else rows.head.size))
+  }
+
+  /** to_dense (`matrix.py:1461`): driver-side export for small fixtures. */
+  def toDense(m: GrbMatrix, fill: Double = 0.0): Array[Array[Double]] = {
+    val out = Array.fill(m.shape.nrows.toInt, m.shape.ncols.toInt)(fill)
+    m.df.collect().foreach(r => out(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    out
+  }
+
+  /** from_dicts (`matrix.py:1519`): {row → {col → val}} convenience. */
+  def fromDicts(spark: SparkSession, d: Map[Long, Map[Long, Double]],
+                shape: GrbShape): GrbMatrix =
+    GrbMatrix.fromCoo(spark,
+      d.toSeq.flatMap { case (i, m) => m.toSeq.map { case (j, v) => (i, j, v) } }, shape)
+
+  /** to_coo sorted export (`matrix.py:525`). */
+  def toCoo(m: GrbMatrix): Seq[(Long, Long, Double)] =
+    m.df.orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  /** Matrix Market coordinate-format reader (`io/_matrixmarket.py:8`) —
+    * plain-text parse for small parity fixtures; general/symmetric,
+    * real/integer/pattern fields. 1-based indices → 0-based. */
+  def mmread(spark: SparkSession, path: String): GrbMatrix = {
+    val lines = scala.io.Source.fromFile(path).getLines()
+      .map(_.trim).filter(l => l.nonEmpty).toSeq
+    val header = lines.head.toLowerCase
+    require(header.startsWith("%%matrixmarket matrix coordinate"),
+      s"unsupported MatrixMarket header: $header")
+    val symmetric = header.contains("symmetric")
+    val pattern = header.contains("pattern")
+    val body = lines.filterNot(_.startsWith("%"))
+    val Array(nr, nc, _) = body.head.split("\\s+").map(_.toLong)
+    val triples = body.tail.flatMap { l =>
+      val p = l.split("\\s+")
+      val (i, j) = (p(0).toLong - 1, p(1).toLong - 1)
+      val v = if (pattern) 1.0 else p(2).toDouble
+      if (symmetric && i != j) Seq((i, j, v), (j, i, v)) else Seq((i, j, v))
+    }
+    GrbMatrix.fromCoo(spark, triples, GrbShape(nr, nc))
+  }
+
+  /** Matrix Market writer (`io/_matrixmarket.py:98`), general/real. */
+  def mmwrite(m: GrbMatrix, path: String): Unit = {
+    val triples = toCoo(m)
+    val sb = new StringBuilder
+    sb.append("%%MatrixMarket matrix coordinate real general\n")
+    sb.append(s"${m.shape.nrows} ${m.shape.ncols} ${triples.size}\n")
+    triples.foreach { case (i, j, v) => sb.append(s"${i + 1} ${j + 1} $v\n") }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+}

@@ -24,15 +24,25 @@ object GraftSqlShims {
     * DataFrame over it (no lineage, no carried stats) plus the RDD handle
     * for later release. */
   def cachedDataFrame(df: DataFrame,
-                      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
-      : (DataFrame, RDD[InternalRow]) = {
+                      level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                      sumColumn: Option[String] = None)
+      : (DataFrame, RDD[InternalRow], Double) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val cdf = df.asInstanceOf[classic.DataFrame]
-    val rdd = cdf.queryExecution.toRdd.map(_.copy()).persist(level)
+    // optional fused aggregation: sum a double column DURING materialization
+    // (saves iterative algorithms one full job + driver round-trip per round)
+    val sumAcc = spark.sparkContext.doubleAccumulator("ckptSum")
+    val rdd = sumColumn match {
+      case Some(name) =>
+        val idx = df.schema.fieldIndex(name)
+        cdf.queryExecution.toRdd.map { r => sumAcc.add(r.getDouble(idx)); r.copy() }
+          .persist(level)
+      case None => cdf.queryExecution.toRdd.map(_.copy()).persist(level)
+    }
     // RDD-level localCheckpoint: truncates the RDD lineage chain too (task
     // closures would otherwise serialize a per-iteration-growing RDD DAG)
     rdd.localCheckpoint()
     rdd.count() // eager materialization
-    (spark.internalCreateDataFrame(rdd, df.schema), rdd)
+    (spark.internalCreateDataFrame(rdd, df.schema), rdd, sumAcc.value)
   }
 }

@@ -1,0 +1,114 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import Extras._
+
+/** Construction/format family + ss.* utilities (SURVEY.md §2.1/§2.5/§2.7). */
+class FormatsSpec extends AnyFunSuite with SparkTest {
+
+  val coo: Seq[(Long, Long, Double)] = Seq(
+    (3, 0, 3), (0, 1, 2), (3, 2, 3), (5, 2, 1), (6, 2, 5), (0, 3, 3),
+    (6, 3, 7), (1, 4, 8), (6, 4, 3), (2, 5, 1), (4, 5, 7), (1, 6, 4)
+  ).map { case (r, c, v) => (r.toLong, c.toLong, v.toDouble) }
+
+  def matA: GrbMatrix = GrbMatrix.fromCoo(spark, coo, GrbShape(7, 7))
+
+  def collectM(m: GrbMatrix): Map[(Long, Long), Double] =
+    m.df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("CSR-bucket round trip: to_csr → from_csr == identity") {
+    val back = Formats.fromCsrBuckets(Formats.toCsrBuckets(matA.df))
+    assert(collectM(GrbMatrix(back, GrbShape(7, 7))) == collectM(matA))
+  }
+
+  test("dense round trip with missing sentinel (from_dense/to_dense)") {
+    val dense = Formats.toDense(matA, fill = -1.0)
+    val back = Formats.fromDense(spark, dense.map(_.toSeq).toSeq, missing = Some(-1.0))
+    assert(back.isequal(matA))
+  }
+
+  test("from_dicts / to_coo") {
+    val m = Formats.fromDicts(spark,
+      Map(0L -> Map(1L -> 2.0), 2L -> Map(0L -> 5.0)), GrbShape(3, 3))
+    assert(Formats.toCoo(m) == Seq((0L, 1L, 2.0), (2L, 0L, 5.0)))
+  }
+
+  test("MatrixMarket round trip, incl. symmetric + pattern parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm")
+    val p = s"$dir/a.mtx"
+    Formats.mmwrite(matA, p)
+    assert(Formats.mmread(spark, p).isequal(matA))
+    val sym = s"$dir/sym.mtx"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(sym),
+      "%%MatrixMarket matrix coordinate pattern symmetric\n3 3 2\n2 1\n3 2\n")
+    val got = collectM(Formats.mmread(spark, sym))
+    assert(got == Map((1L, 0L) -> 1.0, (0L, 1L) -> 1.0, (2L, 1L) -> 1.0, (1L, 2L) -> 1.0))
+  }
+
+  test("isequal / isclose semantics (matrix.py:373,417)") {
+    assert(matA.isequal(matA))
+    val perturbed = GrbMatrix(matA.df.select(col("src"), col("dst"),
+      (col("v") * (1 + 1e-9)).as("v")), matA.shape)
+    assert(!matA.isequal(perturbed))
+    assert(matA.isclose(perturbed, relTol = 1e-7))
+    assert(!matA.isclose(perturbed, relTol = 1e-12))
+    // structure mismatch is never close
+    val missingOne = GrbMatrix(matA.df.limit(11), matA.shape)
+    assert(!matA.isclose(missingOne))
+  }
+
+  test("power by repeated squaring == chained mxm (matrix.py:2840)") {
+    val p3 = matA.power(3, Ops.plusTimes)
+    val chained = matA.mxm(matA, Ops.plusTimes).mxm(matA, Ops.plusTimes)
+    assert(GrbMatrix(p3.df, p3.shape).isequal(GrbMatrix(chained.df, chained.shape)))
+  }
+
+  test("selectK / compactify / scanRowwise / setdiag") {
+    val top2 = matA.selectK(2, largest = true)
+    val want = coo.groupBy(_._1).flatMap { case (_, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(2)
+    }.map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(collectM(top2) == want)
+
+    val compacted = matA.compactify()
+    assert(collectM(compacted).keys.groupBy(_._1).forall { case (_, ks) =>
+      ks.map(_._2).toSeq.sorted == (0L until ks.size) })
+
+    val scanned = collectM(matA.scanRowwise())
+    assert(scanned((6L, 2L)) == 5.0 && scanned((6L, 3L)) == 12.0 && scanned((6L, 4L)) == 15.0)
+
+    val withDiag = matA.setdiag(lit(9.0))
+    val dm = collectM(withDiag)
+    (0L until 7L).foreach(i => assert(dm((i, i)) == 9.0))
+    assert(dm((0L, 1L)) == 2.0) // off-diagonal untouched
+  }
+
+  test("split / concat round trip (ss.split/concat)") {
+    val tiles = matA.split(4, 4)
+    assert(tiles.size == 4)
+    val back = Extras.concat(tiles, 4, 4)
+    assert(back.isequal(matA))
+    assert(back.shape == GrbShape(7, 7))
+  }
+
+  test("aggregator catalog values (agg.py recipes)") {
+    val v = GrbVector.fromPairs(spark, Seq((0L, 3.0), (1L, 4.0), (5L, 0.0)), 7)
+    def ag(n: String) = v.aggregate(n).get
+    assert(ag("sum") == 7.0)
+    assert(ag("count") == 3L)
+    assert(ag("count_nonzero") == 2L)
+    assert(ag("count_zero") == 1L)
+    assert(ag("sum_of_squares") == 25.0)
+    assert(ag("hypot") == 5.0)
+    assert(ag("L1norm") == 7.0)
+    assert(ag("Linfnorm") == 4.0)
+    assert(ag("peak_to_peak") == 4.0)
+    assert(math.abs(ag("mean").asInstanceOf[Double] - 7.0 / 3) < 1e-12)
+    assert(math.abs(ag("root_mean_square").asInstanceOf[Double] - math.sqrt(25.0 / 3)) < 1e-12)
+    assert(ag("argmax") == 1L)  // id of max value 4.0
+    assert(ag("argmin") == 5L)  // id of min value 0.0
+    assert(ag("first_index") == 0L && ag("last_index") == 5L)
+  }
+}
