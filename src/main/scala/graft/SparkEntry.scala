@@ -266,6 +266,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), min(unix_millis(col("ts").cast("timestamp"))).as("t_start_ms"))
     }),
 
+    "masked_accum_write" -> ((s, d) => {
+      // the full GraphBLAS write clause: C(mask, accum=plus) << T
+      // C = v1, T = v2, mask = structural on {supplier ids with v > 5000}
+      val mask = GrbMask(vec2(s, d).df.filter(col("v") > 5000.0).select("id"))
+      Kernels.write(vec1(s, d).df, vec2(s, d).df, Seq("id"),
+        Some(mask), Some(Ops.plus))
+    }),
+
+    "outer_product" -> ((s, d) => {
+      val a = GrbVector(t(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("id"),
+          (col("r_regionkey") + 1).cast("double").as("v")), 5)
+      a.outer(a, Ops.times).df
+    }),
+
+    "stream_sessions" -> ((s, d) =>
+      graft.streaming.EventSessions.sessionize(s, t(s, d, "events"))
+        .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+          col("n_events"), round(col("value_sum"), 6).as("value_sum"))),
+
+    "stream_window_counts" -> ((s, d) =>
+      graft.streaming.EventSessions.windowedCounts(t(s, d, "events"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n_events"),
+          round(col("value_sum"), 6).as("value_sum"))),
+
     // ===== training-data pipeline: dedup / text / similarity =====
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
@@ -463,6 +489,45 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, CAST(min(epoch_ms(ts)) AS BIGINT) AS t_start_ms
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "masked_accum_write" ->
+      s"""WITH a AS ($sqlV1), b AS ($sqlV2),
+         |mk AS (SELECT id FROM ($sqlV2) WHERE v > 5000.0),
+         |z AS (SELECT coalesce(a.id, b.id) AS id,
+         |        CASE WHEN a.id IS NOT NULL AND b.id IS NOT NULL THEN a.v + b.v
+         |             WHEN a.id IS NOT NULL THEN a.v ELSE b.v END AS v
+         |      FROM a FULL JOIN b ON a.id = b.id)
+         |SELECT id, v FROM z WHERE id IN (SELECT id FROM mk)
+         |UNION ALL
+         |SELECT id, v FROM a WHERE id NOT IN (SELECT id FROM mk)""".stripMargin,
+
+    "outer_product" ->
+      """WITH a AS (SELECT CAST(r_regionkey AS BIGINT) AS id,
+        |             CAST(r_regionkey + 1 AS DOUBLE) AS v FROM region)
+        |SELECT x.id AS src, y.id AS dst, x.v * y.v AS v
+        |FROM a x CROSS JOIN a y""".stripMargin,
+
+    "stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(min(epoch_ms(ts)) AS BIGINT) AS session_start_ms,
+        |  CAST(max(epoch_ms(ts)) AS BIGINT) AS session_end_ms,
+        |  count(*) AS n_events, round(sum(value), 6) AS value_sum
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "stream_window_counts" ->
+      """SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
+        |  event_type, count(*) AS n_events, round(sum(value), 6) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count

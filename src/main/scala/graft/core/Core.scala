@@ -196,6 +196,16 @@ final case class GrbVector(df: DataFrame, size: Long) {
   def mask(complement: Boolean = false): GrbMask =
     GrbMask(df.select(col(ID)), complement)
 
+  /** outer product v ⊗ w → Matrix (`vector.py:1746`) — cross join; keep the
+    * smaller side broadcastable or block it at scale. */
+  def outer(other: GrbVector, op: BinaryOp): GrbMatrix = {
+    val r = other.df.select(col(ID).as("_j"), col(V).as("_w"))
+    GrbMatrix(
+      df.crossJoin(r).select(col(ID).as(Names.SRC), col("_j").as(Names.DST),
+        op(col(V), col("_w")).as(V)),
+      GrbShape(size, other.size))
+  }
+
   def cacheEager(): GrbVector = { val d = df.cache(); d.count(); copy(df = d) }
   def checkpointLocal(): GrbVector = copy(df = df.localCheckpoint(true))
 }
@@ -303,6 +313,28 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
 
   def structureMask(complement: Boolean = false): GrbMask =
     GrbMask(df.select(col(SRC), col(DST)), complement)
+
+  /** apply(indexunaryop, thunk): expression over (v, i, j) (`matrix.py:2500`) */
+  def applyIndexed(f: (Column, Column, Column) => Column): GrbMatrix =
+    copy(df = df.select(col(SRC), col(DST), f(col(V), col(SRC), col(DST)).as(V)))
+
+  /** element access A[i,j] (`matrix.py:3022`) — driver convenience, parity
+    * tests only (anti-pattern at scale, SURVEY.md §2.2). */
+  def get(i: Long, j: Long): Option[Double] =
+    df.filter(col(SRC) === i && col(DST) === j).collect()
+      .headOption.map(_.getDouble(2))
+
+  /** A[i,j] = s (`matrix.py:3088`): upsert one element. */
+  def set(i: Long, j: Long, s: Double): GrbMatrix = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val one = Seq((i, j, s)).toDF(SRC, DST, V)
+    copy(df = df.filter(!(col(SRC) === i && col(DST) === j)).unionByName(one))
+  }
+
+  /** del A[i,j] (`matrix.py:3529`) */
+  def delete(i: Long, j: Long): GrbMatrix =
+    copy(df = df.filter(!(col(SRC) === i && col(DST) === j)))
 
   /** kronecker product (`matrix.py:2333`): block-index arithmetic. */
   def kronecker(other: GrbMatrix, op: BinaryOp): GrbMatrix = {

