@@ -29,6 +29,7 @@ import graft.algos.PageRank
 object ScalingBench {
 
   def session(cpus: Int, shufflePartitions: Int): SparkSession = {
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

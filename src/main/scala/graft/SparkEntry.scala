@@ -129,6 +129,10 @@ object SparkEntry {
     "bfs_levels" -> ((s, d) =>
       BFS.levels(s, edgesG(s, d), 0, maxDepth = 15)),
 
+    "sssp" -> ((s, d) =>
+      SSSP.run(s, matM(s, d).df.select(col("src"), col("dst"), col("v").as("w")),
+        0, parts(s))),
+
     // ===== element-wise / mask / assign kernels =====
     "ewise_mult_plus" -> ((s, d) =>
       vec1(s, d).ewiseMult(vec2(s, d), Ops.plus).df),
@@ -377,6 +381,15 @@ object SparkEntry {
          |)
          |SELECT id, min(d) AS level FROM r GROUP BY id""".stripMargin,
 
+    "sssp" ->
+      s"""WITH RECURSIVE m AS ($sqlM),
+         |r(id, d) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+         |  UNION
+         |  SELECT m.dst, r.d + m.v FROM r JOIN m ON m.src = r.id WHERE r.d < 500
+         |)
+         |SELECT id, min(d) AS dist FROM r GROUP BY id""".stripMargin,
+
     "ewise_mult_plus" ->
       s"SELECT a.id AS id, a.v + b.v AS v FROM ($sqlV1) a JOIN ($sqlV2) b USING (id)",
 
@@ -606,6 +619,22 @@ object SparkEntry {
         |  FROM sims) WHERE rank <= 10""".stripMargin,
 
     "embedding_lsh_buckets" -> lshBucketsSql,
+
+    "embedding_ann_topk" ->
+      s"""WITH bkt AS ($lshBucketsSql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |wb AS (SELECT e.vec_id, e.emb, bkt.bucket FROM e JOIN bkt USING (vec_id)),
+         |sims AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |    round(list_dot_product(a.emb, b.emb) /
+         |      (sqrt(list_dot_product(a.emb, a.emb)) *
+         |       sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT query_id, cand_id, sim, rank FROM (
+         |  SELECT query_id, cand_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+         |  FROM sims) WHERE rank <= 10""".stripMargin,
 
     "media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,50 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Ckpt, Kernels, Ops}
+
+/** Single-source shortest paths over the min_plus semiring — the reference's
+  * introductory algorithm (`/root/reference/notebooks/Intro to GraphBLAS +
+  * SSSP example.ipynb`): Bellman-Ford relaxation
+  *
+  *   d(0) = {source → 0}
+  *   loop: d(min) << min_plus(Aᵀ @ d)   — relax every edge
+  *   stop when d unchanged (or n-1 rounds)
+  *
+  * Weighted edges (src, dst, w). Each round is one gather join + min
+  * aggregation + a min accumulate merge; change detection is fused into the
+  * state materialization.
+  */
+object SSSP {
+
+  def run(spark: SparkSession, edges: DataFrame, source: Long, numPartitions: Int,
+          maxIter: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = edges.repartition(numPartitions, col("src")).persist()
+    e.count()
+    var state = Ckpt.materialize(Seq((source, 0.0)).toDF("id", "v"))
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val d = state.df
+      // relax: cand(j) = min over in-edges (i,j) of d(i) + w(i,j)
+      val dl = d.select(col("id").as("_i"), col("v").as("_dv"))
+      val cand = e.join(dl, col("src") === col("_i"))
+        .groupBy(col("dst").as("id")).agg(min(col("_dv") + col("w")).as("v"))
+      val merged = Kernels.ewiseAddDF(d.select("id", "v"), cand, Seq("id"), Ops.minBin)
+      // fused change flag: new id appears (no _pv) or distance improved
+      val prev = d.select(col("id").as("_pid"), col("v").as("_pv"))
+      val stepped = merged.join(prev, col("id") === col("_pid"), "left_outer")
+        .select(col("id"), col("v"),
+          when(col("_pv").isNull || col("v") < col("_pv"), 1.0).otherwise(0.0).as("_chg"))
+      val (newState, nChanged) = Ckpt.materializeWithSum(stepped, "_chg")
+      changed = nChanged > 0
+      state.release()
+      state = newState
+      iter += 1
+    }
+    e.unpersist()
+    state.df.select(col("id"), col("v").as("dist"))
+  }
+}

@@ -30,6 +30,19 @@ final case class GrbMask(keys: DataFrame, complement: Boolean = false) {
 }
 
 object GrbMask {
+  /** mask intersection/union recipes (reference `mask.py:86,113`
+    * `__and__`/`__or__`): plain key-set algebra, complement handled by
+    * set identities (¬a∧¬b = ¬(a∨b), etc. — the reference's
+    * `_COMBINE_MASKS` table collapses to these). */
+  def and(a: GrbMask, b: GrbMask, keys: Seq[String]): GrbMask = (a.complement, b.complement) match {
+    case (false, false) => GrbMask(a.keys.join(b.keys, keys, "left_semi"))
+    case (false, true)  => GrbMask(a.keys.join(b.keys, keys, "left_anti"))
+    case (true, false)  => GrbMask(b.keys.join(a.keys, keys, "left_anti"))
+    case (true, true)   => GrbMask(a.keys.unionByName(b.keys).distinct(), complement = true)
+  }
+  def or(a: GrbMask, b: GrbMask, keys: Seq[String]): GrbMask =
+    ~and(~a, ~b, keys)
+
   /** structural mask m.S — write only keys present (mask.py:133) */
   def structure(df: DataFrame, keyCols: Seq[String]): GrbMask =
     GrbMask(df.select(keyCols.map(col): _*))
@@ -196,6 +209,11 @@ final case class GrbVector(df: DataFrame, size: Long) {
   def mask(complement: Boolean = false): GrbMask =
     GrbMask(df.select(col(ID)), complement)
 
+  /** reposition (`vector.py:1789`): shift indices, drop out-of-range. */
+  def reposition(off: Long): GrbVector =
+    copy(df = df.select((col(ID) + off).as(ID), col(V))
+      .filter(col(ID) >= 0 && col(ID) < size))
+
   /** outer product v ⊗ w → Matrix (`vector.py:1746`) — cross join; keep the
     * smaller side broadcastable or block it at scale. */
   def outer(other: GrbVector, op: BinaryOp): GrbMatrix = {
@@ -350,6 +368,16 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
 
 object GrbMatrix {
   import Names._
+
+  /** from_scalar (`matrix.py:1337`): iso-valued full matrix. Kept as a
+    * range cross-join — avoid at scale; iso-ness is better expressed as a
+    * lit() column in the consuming plan (SURVEY.md §2.1). */
+  def fromScalar(spark: org.apache.spark.sql.SparkSession, value: Double,
+                 shape: GrbShape): GrbMatrix = {
+    val r = spark.range(shape.nrows).select(col("id").as(SRC))
+    val c = spark.range(shape.ncols).select(col("id").as(DST))
+    GrbMatrix(r.crossJoin(c).select(col(SRC), col(DST), lit(value).as(V)), shape)
+  }
   /** from_coo with dup merge (`matrix.py:818`; dup required for duplicates) */
   def fromCoo(spark: org.apache.spark.sql.SparkSession,
               triples: Seq[(Long, Long, Double)], shape: GrbShape,

@@ -116,6 +116,27 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(support == naive.toDouble)
   }
 
+  test("SSSP min_plus: matches driver Bellman-Ford (weighted 5-node demo)") {
+    // PageRank demo weights (FIXTURES.md §2.3)
+    val we = Seq((0L, 1L, 1.1), (0L, 2L, 9.8), (1L, 3L, 4.2), (2L, 3L, 7.1),
+      (2L, 4L, 0.2), (3L, 4L, 6.9), (4L, 0L, 2.2))
+    val got = SSSP.run(spark, we.toDF("src", "dst", "w"), 0, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver Bellman-Ford
+    val dist = scala.collection.mutable.Map(0L -> 0.0)
+    var changed = true
+    while (changed) {
+      changed = false
+      we.foreach { case (s, d, w) =>
+        dist.get(s).foreach { ds =>
+          if (dist.get(d).forall(_ > ds + w)) { dist(d) = ds + w; changed = true }
+        }
+      }
+    }
+    assert(got.keySet == dist.keySet)
+    dist.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12) }
+  }
+
   test("BFS levels: exact hop counts") {
     val edges = prEdges.toDF("src", "dst")
     val got = BFS.levels(spark, edges, 0, 10)

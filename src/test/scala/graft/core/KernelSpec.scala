@@ -146,6 +146,19 @@ class KernelSpec extends AnyFunSuite with SparkTest {
       Map(1L -> 10.0, 2L -> 10.0, 3L -> 1.0))
   }
 
+  test("mask combination recipes and/or incl. complements (mask.py:86,113)") {
+    val ka = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("id")
+    val kb = Seq(Tuple1(2L), Tuple1(3L), Tuple1(4L)).toDF("id")
+    val universe = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(i => (i, 1.0)).toDF("id", "v")
+    def keysOf(m: GrbMask): Set[Long] =
+      Kernels.maskFilter(universe, m, Seq("id")).collect().map(_.getLong(0)).toSet
+    assert(keysOf(GrbMask.and(GrbMask(ka), GrbMask(kb), Seq("id"))) == Set(2L, 3L))
+    assert(keysOf(GrbMask.or(GrbMask(ka), GrbMask(kb), Seq("id"))) == Set(1L, 2L, 3L, 4L))
+    assert(keysOf(GrbMask.and(GrbMask(ka), ~GrbMask(kb), Seq("id"))) == Set(1L))
+    assert(keysOf(GrbMask.and(~GrbMask(ka), ~GrbMask(kb), Seq("id"))) == Set(0L, 5L))
+    assert(keysOf(GrbMask.or(~GrbMask(ka), GrbMask(kb), Seq("id"))) == Set(0L, 2L, 3L, 4L, 5L))
+  }
+
   test("extract with index remap (GrB_Matrix_extract, operations.rst:352-420)") {
     // A[[1,3,6], [2,4]] → 3×2 with dense remap
     val rowMap = Seq((1L, 0L), (3L, 1L), (6L, 2L)).toDF("old", "new")
@@ -171,6 +184,36 @@ class KernelSpec extends AnyFunSuite with SparkTest {
     val tiny = GrbMatrix.fromCoo(spark, Seq((0L, 1L, 2.0), (1L, 0L, 3.0)), GrbShape(2, 2))
     val kron = collectM(tiny.kronecker(tiny, Ops.times))
     assert(kron == Map((0L, 3L) -> 4.0, (1L, 2L) -> 6.0, (2L, 1L) -> 6.0, (3L, 0L) -> 9.0))
+  }
+
+  test("kernels are dtype-generic: INT64 values stay integral (dtypes.py:329)") {
+    // the reference fixture is INT64; run the same kernels on LongType
+    val li = aCoo.map { case (r, c, v) => (r, c, v.toLong) }.toDF("src", "dst", "v")
+    val m = GrbMatrix(li, GrbShape(7, 7))
+    val prod = m.mxm(m, Ops.plusTimes)
+    assert(prod.df.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    val got = prod.df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      i <- 0L until 7L; j <- 0L until 7L
+      terms = (0L until 7L).flatMap(k =>
+        for { a <- aMap.get((i, k)); b <- aMap.get((k, j)) } yield (a * b).toLong)
+      if terms.nonEmpty
+    } yield (i, j) -> terms.sum).toMap
+    assert(got == want)
+  }
+
+  test("UDT-style record values: ewise over struct columns (dtypes.py:165 register_new)") {
+    // reference UDTs map to StructType values (SURVEY.md §1.2); a custom
+    // BinaryOp over the struct fields exercises the same kernel path
+    val a = Seq((0L, (1.0, 2.0)), (2L, (3.0, 4.0))).toDF("id", "v")
+    val b = Seq((0L, (10.0, 20.0)), (3L, (5.0, 6.0))).toDF("id", "v")
+    val addRec = BinaryOp("addRec", (x, y) =>
+      struct((x.getField("_1") + y.getField("_1")).as("_1"),
+             (x.getField("_2") + y.getField("_2")).as("_2")))
+    val got = Kernels.ewiseAddDF(a, b, Seq("id"), addRec)
+      .collect().map(r => r.getLong(0) -> (r.getStruct(1).getDouble(0), r.getStruct(1).getDouble(1)))
+      .toMap
+    assert(got == Map(0L -> ((11.0, 22.0)), 2L -> ((3.0, 4.0)), 3L -> ((5.0, 6.0))))
   }
 
   test("isclose-style comparator: mxv at two partitionings agrees to 1e-6") {
