@@ -129,6 +129,15 @@ object SparkEntry {
     "bfs_levels" -> ((s, d) =>
       BFS.levels(s, edgesG(s, d), 0, maxDepth = 15)),
 
+    "pagerank_iter5" -> ((s, d) => {
+      val adj = Adjacency.build(edgesG(s, d), 937, parts(s))
+      PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 5)
+        .scores.select(col("id"), round(col("v"), 9).as("v"))
+    }),
+
+    "bfs_parents" -> ((s, d) =>
+      BFS.parents(s, edgesG(s, d), 0, maxDepth = 15)),
+
     "sssp" -> ((s, d) =>
       SSSP.run(s, matM(s, d).df.select(col("src"), col("dst"), col("v").as("w")),
         0, parts(s))),
@@ -380,6 +389,22 @@ object SparkEntry {
          |  SELECT e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
          |)
          |SELECT id, min(d) AS level FROM r GROUP BY id""".stripMargin,
+
+    "pagerank_iter5" -> pagerankIterSql(5),
+
+    "bfs_parents" ->
+      s"""WITH RECURSIVE base AS ($sqlEdges),
+         |r(id, d) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
+         |),
+         |lv AS (SELECT id, min(d) AS level FROM r GROUP BY id)
+         |SELECT v.id AS id, min(e.src) AS parent
+         |FROM lv v JOIN base e ON e.dst = v.id
+         |JOIN lv p ON p.id = e.src AND p.level = v.level - 1
+         |WHERE v.id <> 0 GROUP BY v.id
+         |UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
 
     "sssp" ->
       s"""WITH RECURSIVE m AS ($sqlM),
@@ -642,6 +667,26 @@ object SparkEntry {
   )
 
   // ---- longer SQL bodies built with the same constants as the Scala code ----
+
+  /** K full pagerank_3f iterations as K chained (non-recursive) CTEs —
+    * recursive SQL cannot aggregate in the recursive term, but a fixed
+    * iteration count unrolls exactly. */
+  private def pagerankIterSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT t.id AS id, 0.15/937 + coalesce(c.g, 0) AS v
+         |  FROM range(0, 937) t(id) LEFT JOIN (
+         |    SELECT b.dst AS id, sum(r${i - 1}.v * 0.85 / d.deg) AS g
+         |    FROM base b JOIN deg d ON b.src = d.src
+         |    JOIN r${i - 1} ON r${i - 1}.id = b.src GROUP BY b.dst) c
+         |  ON t.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($sqlEdges),
+       |deg AS (SELECT src, count(*) AS deg FROM base GROUP BY src),
+       |r0 AS (SELECT id, 1.0/937 AS v FROM range(0, 937) t(id)),
+       |$steps
+       |SELECT id, round(v, 9) AS v FROM r$k""".stripMargin
+  }
 
   private def docFingerprintSql: String = {
     // 31^k mod (2^31-1), k = 15..0, matching TextOps.fingerprints

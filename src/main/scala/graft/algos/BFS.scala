@@ -40,4 +40,22 @@ object BFS {
     e.unpersist()
     visited.df
   }
+
+  /** Parent BFS (reference `Example B.3 -- Parent BFS.ipynb`): the reference
+    * uses the nondeterministic `any_secondi` semiring; we make it
+    * deterministic as min-parent (documented divergence, SURVEY.md §7.4):
+    * parent(v) = min u with edge u→v and level(u) = level(v)-1; source's
+    * parent is itself. */
+  def parents(spark: SparkSession, edges: DataFrame, source: Long,
+              maxDepth: Int = 64): DataFrame = {
+    val lv = levels(spark, edges, source, maxDepth).cache()
+    val child = lv.select(col("id"), col("level"))
+    val par = lv.select(col("id").as("_pid"), col("level").as("_plevel"))
+    val nonSource = child.filter(col("id") =!= source)
+      .join(edges, edges("dst") === child("id"))
+      .join(par, edges("src") === col("_pid") && col("_plevel") === col("level") - 1)
+      .groupBy(col("id")).agg(min(col("_pid")).as("parent"))
+    import spark.implicits._
+    nonSource.unionByName(Seq((source, source)).toDF("id", "parent"))
+  }
 }

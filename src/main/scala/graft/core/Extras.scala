@@ -131,6 +131,21 @@ object Extras {
         m.shape)
     }
 
+    /** ss.flatten (`core/ss/matrix.py:3706`): row-major linearization
+      * i*ncols+j → Vector of size nrows*ncols. */
+    def flatten(): GrbVector =
+      GrbVector(m.df.select((col(SRC) * m.shape.ncols + col(DST)).as(ID), col(V)),
+        m.shape.nrows * m.shape.ncols)
+
+    /** ss.reshape (`core/ss/matrix.py:3732`): inverse of flatten for a new
+      * shape (row-major). */
+    def reshape(nrows: Long, ncols: Long): GrbMatrix = {
+      require(nrows * ncols == m.shape.nrows * m.shape.ncols, "size must match")
+      val lin = col(SRC) * m.shape.ncols + col(DST)
+      GrbMatrix(m.df.select((lin / ncols).cast("long").as(SRC),
+        pmod(lin, lit(ncols)).as(DST), col(V)), GrbShape(nrows, ncols))
+    }
+
     /** ss.split (`core/ss/matrix.py:280`): tile decomposition by index range. */
     def split(rowChunk: Long, colChunk: Long): Map[(Long, Long), GrbMatrix] = {
       val tiles = for {

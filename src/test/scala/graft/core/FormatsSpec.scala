@@ -85,6 +85,17 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(dm((0L, 1L)) == 2.0) // off-diagonal untouched
   }
 
+  test("flatten / reshape round trip (ss.flatten/reshape)") {
+    val flat = matA.flatten()
+    assert(flat.size == 49)
+    val got = flat.df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == collectM(matA).map { case ((i, j), v) => (i * 7 + j) -> v })
+    // reshape 7x7 -> 49x1 -> back
+    val tall = matA.reshape(49, 1)
+    assert(tall.shape == GrbShape(49, 1))
+    assert(tall.reshape(7, 7).isequal(matA))
+  }
+
   test("split / concat round trip (ss.split/concat)") {
     val tiles = matA.split(4, 4)
     assert(tiles.size == 4)
