@@ -27,7 +27,8 @@ final case class CCResult(components: DataFrame, iterations: Int)
 object ConnectedComponents {
 
   def run(spark: SparkSession, edgesSym: DataFrame, n: Long, numPartitions: Int,
-          maxIter: Int = 64): CCResult = {
+          maxIter: Int = 64,
+          checkpointer: Option[graft.runtime.IterationCheckpointer] = None): CCResult = {
     // persist edges hash-partitioned on dst: the per-round min_second gather
     // joins on dst, so the (big) edge side is shuffled exactly once here
     val edges = edgesSym.repartition(numPartitions, col("dst")).persist()
@@ -78,6 +79,8 @@ object ConnectedComponents {
       fState = newFState
       gpState = newGpState
       iter += 1
+      checkpointer.foreach(_.save(fState.df.select(col("id"), col("v")), iter,
+        Map("changed" -> nChanged.toLong.toString)))
     }
     edges.unpersist()
     CCResult(fState.df.select(col("id"), col("v").as("component")), iter)

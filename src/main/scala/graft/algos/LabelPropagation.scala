@@ -20,7 +20,8 @@ final case class LPResult(labels: DataFrame, iterations: Int)
 object LabelPropagation {
 
   def run(spark: SparkSession, edgesSym: DataFrame, n: Long, numPartitions: Int,
-          maxIter: Int = 1000): LPResult = {
+          maxIter: Int = 1000,
+          checkpointer: Option[graft.runtime.IterationCheckpointer] = None): LPResult = {
     // edge side of the per-round gather join persisted pre-partitioned on dst
     val edges = edgesSym.repartition(numPartitions, col("dst")).persist()
     edges.count()
@@ -44,6 +45,8 @@ object LabelPropagation {
       state.release()
       state = newState
       iter += 1
+      checkpointer.foreach(_.save(state.df.select(col("id"), col("v")), iter,
+        Map("changed" -> nChanged.toLong.toString)))
     }
     edges.unpersist()
     LPResult(state.df.select(col("id"), col("v").as("label")), iter)

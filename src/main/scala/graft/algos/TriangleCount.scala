@@ -39,9 +39,10 @@ object TriangleCount {
     * C(L.S) = L·Lᵀ — (src, dst, v = #common neighbors), only for edges of L
     * that close at least one wedge. Exercises GrbMatrix.mxm mask pushdown. */
   def support(edgesSym: DataFrame, n: Long): DataFrame = {
+    // L feeds three plan branches (left, transpose, mask) — persist it
     val l = GrbMatrix(
       edgesSym.filter(col("src") > col("dst"))
-        .select(col("src"), col("dst"), lit(1.0).as("v")),
+        .select(col("src"), col("dst"), lit(1.0).as("v")).persist(),
       GrbShape(n, n))
     l.mxm(l.transpose, Ops.plusPair, Some(l.structureMask())).df
   }

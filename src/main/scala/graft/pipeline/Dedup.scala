@@ -38,7 +38,9 @@ object Dedup {
     * (inverted-index join), similarity = |∩| / |∪|, thresholded. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         w: Int = 3): DataFrame = {
-    val sh = shingles(docs, w)
+    // the shingle table feeds three plan branches (both join sides + the
+    // per-doc counts) — persist it so tokenization/explode runs once
+    val sh = shingles(docs, w).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -86,7 +88,7 @@ object Dedup {
   /** LSH banding over the MinHash signature (2 bands × 4 rows): candidate
     * pairs = docs sharing at least one band key. */
   def minhashLshCandidates(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+    val sig = minhashSignatures(docs).persist() // feeds 2 bands x 2 join sides
     val bands = (0 until 2).map { bnd =>
       // Horner fold of the band's 4 signature rows mod 1e9+7 (overflow-safe)
       val key = (0 until 4).foldLeft(lit(0L).cast("long")) { (acc, r) =>
