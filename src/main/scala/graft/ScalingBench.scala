@@ -42,16 +42,10 @@ object ScalingBench {
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    val nPages = if (args.length > 0) args(0).toLong else 1000000L
-    val lowCpus = if (args.length > 1) args(1).toInt else 2
-    val iters = if (args.length > 2) args(2).toInt else 5
-    val trials = if (args.length > 3) args(3).toInt else 3
-    val highCpus = lowCpus * 4
+  /** Materialize the synthetic edge table once (full ingest pipeline) —
+    * always at full machine width; only the measured runs are throttled. */
+  def ensureEdges(nPages: Long): String = {
     val edgePath = s"/root/repo/target/scaling_edges_$nPages"
-
-    // Phase 0: materialize the edge table once (full ingest pipeline) —
-    // always at full machine width; only the measured runs are throttled.
     if (!new java.io.File(edgePath + "/_SUCCESS").exists()) {
       val s = session(32, 64)
       val pages = ingest.Pages.synthesize(s, nPages)
@@ -60,7 +54,28 @@ object ScalingBench {
         .write.mode("overwrite").parquet(edgePath)
       s.stop()
     }
+    edgePath
+  }
 
+  final case class PairResult(nPages: Long, nEdges: Long, iters: Int,
+                              lowCpus: Int, highCpus: Int,
+                              lows: Seq[Double], highs: Seq[Double]) {
+    def secLow: Double = lows.min
+    def secHigh: Double = highs.min
+    def tputLow: Double = nEdges.toDouble * iters / secLow
+    def tputHigh: Double = nEdges.toDouble * iters / secHigh
+    def efficiency: Double = (tputHigh / tputLow) / (highCpus.toDouble / lowCpus)
+    def json: String = {
+      val lowsS = lows.map(x => f"$x%.2f").mkString("[", ",", "]")
+      val highsS = highs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      f"""{"protocol":"scaling","pages":$nPages,"edges":$nEdges,"iters":$iters,"trials_low_sec":$lowsS,"trials_high_sec":$highsS,"low_cpus":$lowCpus,"high_cpus":$highCpus,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,"edges_per_sec_low":$tputLow%.0f,"edges_per_sec_high":$tputHigh%.0f,"efficiency":$efficiency%.3f}"""
+    }
+  }
+
+  /** One N → 4N measurement: interleaved trials in one JVM, per-level
+    * minimum (the noise filter this shared host requires). */
+  def measurePair(edgePath: String, nPages: Long, lowCpus: Int, highCpus: Int,
+                  iters: Int, trials: Int): PairResult = {
     var nEdges = 0L
     def timeOnce(cpus: Int): Double = {
       val s = session(cpus, cpus * 2)
@@ -74,19 +89,18 @@ object ScalingBench {
       s.stop()
       sec
     }
-
-    // interleaved trials, keep per-level minimum
     val (lows, highs) = (1 to trials).map { _ =>
       (timeOnce(lowCpus), timeOnce(highCpus))
     }.unzip
-    val secLow = lows.min
-    val secHigh = highs.min
-    val tputLow = nEdges.toDouble * iters / secLow
-    val tputHigh = nEdges.toDouble * iters / secHigh
-    val eff = (tputHigh / tputLow) / (highCpus.toDouble / lowCpus)
-    val lowsS = lows.map(x => f"$x%.2f").mkString("[", ",", "]")
-    val highsS = highs.map(x => f"$x%.2f").mkString("[", ",", "]")
-    println(
-      f"""{"protocol":"scaling","pages":$nPages,"edges":$nEdges,"iters":$iters,"trials_low_sec":$lowsS,"trials_high_sec":$highsS,"low_cpus":$lowCpus,"high_cpus":$highCpus,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,"edges_per_sec_low":$tputLow%.0f,"edges_per_sec_high":$tputHigh%.0f,"efficiency":$eff%.3f}""")
+    PairResult(nPages, nEdges, iters, lowCpus, highCpus, lows, highs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nPages = if (args.length > 0) args(0).toLong else 1000000L
+    val lowCpus = if (args.length > 1) args(1).toInt else 2
+    val iters = if (args.length > 2) args(2).toInt else 5
+    val trials = if (args.length > 3) args(3).toInt else 3
+    val edgePath = ensureEdges(nPages)
+    println(measurePair(edgePath, nPages, lowCpus, lowCpus * 4, iters, trials).json)
   }
 }

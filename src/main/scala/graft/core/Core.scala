@@ -25,8 +25,14 @@ object Names {
   * masks — value vs structure collapses at construction, SURVEY.md §2.4);
   * `complement` flips semi-join to anti-join.
   */
-final case class GrbMask(keys: DataFrame, complement: Boolean = false) {
+final case class GrbMask(keys: DataFrame, complement: Boolean = false,
+                         small: Boolean = false) {
   def unary_~ : GrbMask = copy(complement = !complement)
+  /** caller-asserted size hint: the key set is known-small (e.g. a frontier),
+    * so the semi-join may be forced to broadcast. Structural masks derived
+    * from edge-scale relations must NOT set this — at web scale a forced
+    * broadcast of an O(nvals) mask OOMs the driver (VERDICT r1 §wrong 2). */
+  def markSmall: GrbMask = copy(small = true)
 }
 
 object GrbMask {
@@ -60,16 +66,25 @@ object Kernels {
   /** Apply a mask's key filter to a result (semi-join; anti if complemented).
     * This is the masked-mxm pushdown site: callers apply it BELOW their
     * aggregation when semantics allow (SURVEY.md §4.2 item 3).
+    *
+    * Join strategy: shuffle semi-join by default — a structural mask is
+    * O(nvals) of its source and unbounded at web scale, so forcing a
+    * broadcast would OOM (e.g. TriangleCount's L mask IS the edge set).
+    * Only a caller-asserted `mask.small` adds the broadcast hint; otherwise
+    * AQE/autoBroadcastJoinThreshold decides from runtime stats.
     */
   def maskFilter(df: DataFrame, mask: GrbMask, keys: Seq[String]): DataFrame = {
     val joinType = if (mask.complement) "left_anti" else "left_semi"
-    df.join(mask.keys.hint("broadcast"), keys, joinType)
+    df.join(sized(mask.keys, mask.small), keys, joinType)
   }
 
   private def maskFilterInv(df: DataFrame, mask: GrbMask, keys: Seq[String]): DataFrame = {
     val joinType = if (mask.complement) "left_semi" else "left_anti"
-    df.join(mask.keys.hint("broadcast"), keys, joinType)
+    df.join(sized(mask.keys, mask.small), keys, joinType)
   }
+
+  private[core] def sized(df: DataFrame, small: Boolean): DataFrame =
+    if (small) df.hint("broadcast") else df
 
   /** The GraphBLAS write clause `C(mask, accum, replace) << T`
     * (reference `base.py:338-514` `_update`, semantics
@@ -165,6 +180,10 @@ final case class GrbVector(df: DataFrame, size: Long) {
   def ewiseUnion(other: GrbVector, op: BinaryOp, ld: Column, rd: Column): GrbVector =
     copy(df = Kernels.ewiseUnionDF(df, other.df, Seq(ID), op, ld, rd))
 
+  /** dup with mask-on-construction (`vector.py` dup(mask=)). */
+  def dup(mask: GrbMask): GrbVector =
+    copy(df = Kernels.maskFilter(df, mask, Seq(ID)))
+
   /** Vector → Scalar fold (`vector.py:1635`); None = empty vector. */
   def reduce(m: Monoid): Option[Any] = {
     val r = df.agg(m.agg(col(V)).as("r")).collect()(0)
@@ -184,11 +203,18 @@ final case class GrbVector(df: DataFrame, size: Long) {
     ewiseMult(other, s.mult).reduce(s.add)
 
   /** extract with index remap: w(new) = v(old) for (old,new) in `indexMap`
-    * (`__getitem__` + `GrB_Col_extract`, SURVEY.md §2.7). */
-  def extract(indexMap: DataFrame, newSize: Long): GrbVector = {
-    val m = indexMap.select(col("old").as("_o"), col("new").as("_n"))
+    * (`__getitem__` + `GrB_Col_extract`, SURVEY.md §2.7). The index map can
+    * be the full vertex remap (10^12 rows at the design point), so the join
+    * is a shuffle equi-join by default; pass `smallMap = true` only for a
+    * known-small selection list. */
+  def extract(indexMap: DataFrame, newSize: Long, smallMap: Boolean = false,
+              inputMask: Option[GrbMask] = None): GrbVector = {
+    // input_mask (reference `base.py:356-362`): mask applied to the INPUT of
+    // an extract — a pre-filter semi-join before the remap
+    val in = inputMask.fold(df)(m => Kernels.maskFilter(df, m, Seq(ID)))
+    val m = Kernels.sized(indexMap.select(col("old").as("_o"), col("new").as("_n")), smallMap)
     GrbVector(
-      df.join(m.hint("broadcast"), col(ID) === col("_o"))
+      in.join(m, col(ID) === col("_o"))
         .select(col("_n").as(ID), col(V)),
       newSize)
   }
@@ -204,6 +230,37 @@ final case class GrbVector(df: DataFrame, size: Long) {
     val scattered = u.df.join(t, col(ID) === col("_si"))
       .groupBy(col("_ti").as(ID)).agg(accumAgg(col(V)).as(V))
     copy(df = Kernels.ewiseAddDF(df, scattered, Seq(ID), accum))
+  }
+
+  /** General assign `w(mask, accum, replace)[indices] << u` — 1-D form of
+    * GrbMatrix.assign (reference `vector.py` `_prep_for_assign`): u's local
+    * index idx maps to target position; without accum the index region is
+    * replaced, with accum it's merged. */
+  def assign(indexMap: DataFrame, u: GrbVector,
+             mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
+             replace: Boolean = false, smallMap: Boolean = true): GrbVector = {
+    val m = Kernels.sized(indexMap.select(col("idx").as("_i"), col("target").as("_t")), smallMap)
+    val mapped = u.df.join(m, col(ID) === col("_i")).select(col("_t").as(ID), col(V))
+    assignMapped(mapped, m.select(col("_t")), mask, accum, replace)
+  }
+
+  /** Scalar-broadcast assign `w(mask, accum)[indices] << s`
+    * (`GrB_Vector_assign_Scalar`). */
+  def assignScalar(targets: DataFrame, s: Column,
+                   mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
+                   replace: Boolean = false, smallMap: Boolean = true): GrbVector = {
+    val t = Kernels.sized(targets.select(col("target").as("_t")), smallMap)
+    assignMapped(t.select(col("_t").as(ID), s.as(V)), t, mask, accum, replace)
+  }
+
+  private def assignMapped(mapped: DataFrame, region0: DataFrame,
+                           mask: Option[GrbMask], accum: Option[BinaryOp],
+                           replace: Boolean): GrbVector = {
+    val region = region0.toDF(ID).distinct()
+    val inside = df.join(region, Seq(ID), "left_semi")
+    val outside = df.join(region, Seq(ID), "left_anti")
+    copy(df = outside.unionByName(
+      Kernels.write(inside, mapped, Seq(ID), mask, accum, replace)))
   }
 
   def mask(complement: Boolean = false): GrbMask =
@@ -267,6 +324,16 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
   def ewiseAdd(other: GrbMatrix, op: BinaryOp): GrbMatrix =
     copy(df = Kernels.ewiseAddDF(df, other.df, Seq(SRC, DST), op))
 
+  /** ewise_union with per-side fill defaults (`matrix.py:2043`
+    * GxB_Matrix_eWiseUnion) — matrix twin of GrbVector.ewiseUnion. */
+  def ewiseUnion(other: GrbMatrix, op: BinaryOp, ld: Column, rd: Column): GrbMatrix =
+    copy(df = Kernels.ewiseUnionDF(df, other.df, Seq(SRC, DST), op, ld, rd))
+
+  /** dup with mask-on-construction (`matrix.py:683` dup(mask=)): copy
+    * restricted to the mask's key set. */
+  def dup(mask: GrbMask): GrbMatrix =
+    copy(df = Kernels.maskFilter(df, mask, Seq(SRC, DST)))
+
   /** reduce_rowwise(monoid): Matrix → Vector per-row fold (`matrix.py:2636`) */
   def reduceRowwise(m: Monoid): GrbVector =
     GrbVector(df.groupBy(col(SRC).as(ID)).agg(m.agg(col(V)).as(V)), shape.nrows)
@@ -312,15 +379,74 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
       math.min(shape.nrows, shape.ncols))
 
   /** extract submatrix with dense index remap (SURVEY.md §2.7): `rowMap` /
-    * `colMap` are (old→new) DataFrames. */
-  def extract(rowMap: DataFrame, colMap: DataFrame, newShape: GrbShape): GrbMatrix = {
-    val rm = rowMap.select(col("old").as("_ro"), col("new").as("_rn"))
-    val cm = colMap.select(col("old").as("_co"), col("new").as("_cn"))
+    * `colMap` are (old→new) DataFrames. Shuffle joins by default (the remap
+    * may be vertex-universe-sized); `smallMaps = true` broadcasts both. */
+  def extract(rowMap: DataFrame, colMap: DataFrame, newShape: GrbShape,
+              smallMaps: Boolean = false): GrbMatrix = {
+    val rm = Kernels.sized(rowMap.select(col("old").as("_ro"), col("new").as("_rn")), smallMaps)
+    val cm = Kernels.sized(colMap.select(col("old").as("_co"), col("new").as("_cn")), smallMaps)
     GrbMatrix(
-      df.join(rm.hint("broadcast"), col(SRC) === col("_ro"))
-        .join(cm.hint("broadcast"), col(DST) === col("_co"))
+      df.join(rm, col(SRC) === col("_ro"))
+        .join(cm, col(DST) === col("_co"))
         .select(col("_rn").as(SRC), col("_cn").as(DST), col(V)),
       newShape)
+  }
+
+  /** General assign `C(mask, accum, replace)[rows, cols] << A`
+    * (reference `matrix.py:3116-3295` `_prep_for_assign`, semantics
+    * `docs/user_guide/operations.rst:424-540`): A's local indices map through
+    * the position lists (`rowMap`/`colMap`: (idx → target) DataFrames), then
+    * merge region-wise into C. Without accum, the region is REPLACED by A
+    * (region cells absent from A are deleted); with accum, overlaps combine
+    * and region-only C values persist (= ewise_add on the region). Mask keys
+    * are in C's coordinates and scope the region (GxB_subassign shape);
+    * replace clears unwritten region cells inside the mask scope.
+    * Position lists are usually small selections → broadcast by default;
+    * pass smallMaps=false for vertex-universe-scale maps. */
+  def assign(rowMap: DataFrame, colMap: DataFrame, a: GrbMatrix,
+             mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
+             replace: Boolean = false, smallMaps: Boolean = true): GrbMatrix = {
+    val rm = Kernels.sized(rowMap.select(col("idx").as("_ri"), col("target").as("_rt")), smallMaps)
+    val cm = Kernels.sized(colMap.select(col("idx").as("_ci"), col("target").as("_ct")), smallMaps)
+    val mapped = a.df.join(rm, col(SRC) === col("_ri"))
+      .join(cm, col(DST) === col("_ci"))
+      .select(col("_rt").as(SRC), col("_ct").as(DST), col(V))
+    assignMapped(mapped, rm, cm, mask, accum, replace)
+  }
+
+  /** Scalar-broadcast assign `C(mask, accum)[rows, cols] << s`
+    * (`matrix.py:3249` GrB_Matrix_assign_Scalar): every region cell gets s. */
+  def assignScalar(rowTargets: DataFrame, colTargets: DataFrame, s: Column,
+                   mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
+                   replace: Boolean = false, smallMaps: Boolean = true): GrbMatrix = {
+    val rm = Kernels.sized(rowTargets.select(col("target").as("_rt")), smallMaps)
+    val cm = Kernels.sized(colTargets.select(col("target").as("_ct")), smallMaps)
+    val mapped = rm.crossJoin(cm)
+      .select(col("_rt").as(SRC), col("_ct").as(DST), s.as(V))
+    assignMapped(mapped, rm, cm, mask, accum, replace)
+  }
+
+  /** Row assign C[i, :] << u over u's index universe (`GrB_Row_assign`). */
+  def assignRow(i: Long, u: GrbVector,
+                mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
+                replace: Boolean = false): GrbMatrix = {
+    val spark = df.sparkSession
+    val rowMap = spark.range(1).select(col("id").as("idx"), lit(i).as("target"))
+    val colMap = spark.range(u.size).select(col("id").as("idx"), col("id").as("target"))
+    assign(rowMap, colMap, GrbMatrix(
+      u.df.select(lit(0L).as(SRC), col(ID).as(DST), col(V)), GrbShape(1, u.size)),
+      mask, accum, replace, smallMaps = false)
+  }
+
+  private def assignMapped(mapped: DataFrame, rm: DataFrame, cm: DataFrame,
+                           mask: Option[GrbMask], accum: Option[BinaryOp],
+                           replace: Boolean): GrbMatrix = {
+    val region = rm.select(col("_rt").as(SRC)).distinct()
+      .crossJoin(cm.select(col("_ct").as(DST)).distinct())
+    val inside = df.join(region, Seq(SRC, DST), "left_semi")
+    val outside = df.join(region, Seq(SRC, DST), "left_anti")
+    val written = Kernels.write(inside, mapped, Seq(SRC, DST), mask, accum, replace)
+    copy(df = outside.unionByName(written))
   }
 
   /** shift all indices, dropping out-of-range (`matrix.py:2764`) */

@@ -24,7 +24,9 @@ object Extras {
     "count_zero" -> (c => count(when(c === 0, 1))),
     "sum_of_squares" -> (c => sum(c * c)),
     "sum_of_inverses" -> (c => sum(lit(1.0) / c)),
-    "exists" -> (c => when(count(c) > 0, lit(1)).otherwise(lit(1))),
+    // 1 if any element, null (= missing) on empty — reference agg.exists
+    // (`agg.py:359-380`), matching the None-on-empty convention of aggregate()
+    "exists" -> (c => when(count(c) > 0, lit(1))),
     "hypot" -> (c => sqrt(sum(c * c))),
     "logaddexp" -> (c => log(sum(exp(c)))),
     "logaddexp2" -> (c => log2(sum(pow(lit(2.0), c)))),
@@ -76,10 +78,20 @@ object Extras {
       bad.limit(1).count()
     }
 
-    /** power(n) by repeated squaring (`matrix.py:2840`); n>=1; state
-      * re-materialized between squarings to keep plans flat. */
-    def power(n: Int, s: Semiring): GrbMatrix = {
-      require(n >= 1, "power(0) needs the monoid identity diagonal; use >= 1")
+    /** power(n) by repeated squaring (`matrix.py:2840`). power(0) is the
+      * semiring's identity diagonal I (I ⊗-absorbs: I @ A = A); `one` is the
+      * ⊗-identity value — 1.0 for times/pair, 0.0 for plus (min_plus), etc.
+      * State re-materialized between squarings to keep plans flat. */
+    def power(n: Int, s: Semiring, one: Column = lit(1.0)): GrbMatrix = {
+      require(n >= 0, "power requires n >= 0")
+      require(m.shape.nrows == m.shape.ncols, "power needs a square matrix")
+      if (n == 0) {
+        val spark = m.df.sparkSession
+        return GrbMatrix(
+          spark.range(m.shape.nrows)
+            .select(col("id").as(SRC), col("id").as(DST), one.as(V)),
+          m.shape)
+      }
       var result: Option[GrbMatrix] = None
       var base = m
       var k = n
@@ -142,8 +154,12 @@ object Extras {
     def reshape(nrows: Long, ncols: Long): GrbMatrix = {
       require(nrows * ncols == m.shape.nrows * m.shape.ncols, "size must match")
       val lin = col(SRC) * m.shape.ncols + col(DST)
-      GrbMatrix(m.df.select((lin / ncols).cast("long").as(SRC),
-        pmod(lin, lit(ncols)).as(DST), col(V)), GrbShape(nrows, ncols))
+      // integral divide: Column `/` on longs is FP division, which is inexact
+      // above 2^53 — go through decimal(38,0), exact over the full long range
+      val src = ((lin.cast("decimal(38,0)") - pmod(lin, lit(ncols))) / ncols)
+        .cast("long")
+      GrbMatrix(m.df.select(src.as(SRC), pmod(lin, lit(ncols)).as(DST), col(V)),
+        GrbShape(nrows, ncols))
     }
 
     /** ss.split (`core/ss/matrix.py:280`): tile decomposition by index range. */

@@ -52,6 +52,34 @@ object Ops {
   val sigNum = UnaryOp("signum", signum)
   val ceilOp = UnaryOp("ceil", c => ceil(c).cast("double"))
   val floorOp = UnaryOp("floor", c => floor(c).cast("double"))
+  // trig / hyperbolic (`unary.py:144-169`)
+  val sinOp = UnaryOp("sin", sin);   val cosOp = UnaryOp("cos", cos)
+  val tanOp = UnaryOp("tan", tan)
+  val asinOp = UnaryOp("asin", asin); val acosOp = UnaryOp("acos", acos)
+  val atanOp = UnaryOp("atan", atan)
+  val sinhOp = UnaryOp("sinh", sinh); val coshOp = UnaryOp("cosh", cosh)
+  val tanhOp = UnaryOp("tanh", tanh)
+  val asinhOp = UnaryOp("asinh", c => log(c + sqrt(c * c + 1.0)))
+  val acoshOp = UnaryOp("acosh", c => log(c + sqrt(c * c - 1.0)))
+  val atanhOp = UnaryOp("atanh", c => lit(0.5) * log((lit(1.0) + c) / (lit(1.0) - c)))
+  // logs / exps / roots
+  val log2Op  = UnaryOp("log2", log2)
+  val log10Op = UnaryOp("log10", log10)
+  val log1pOp = UnaryOp("log1p", log1p)
+  val exp2Op  = UnaryOp("exp2", c => pow(lit(2.0), c))
+  val expm1Op = UnaryOp("expm1", expm1)
+  val cbrtOp  = UnaryOp("cbrt", cbrt)
+  val roundOp = UnaryOp("round", c => round(c, 0))
+  // trunc toward zero (C semantics)
+  val truncOp = UnaryOp("trunc", c => signum(c) * floor(abs(c)))
+  // float classification
+  val isnanOp = UnaryOp("isnan", isnan)
+  val isinfOp = UnaryOp("isinf",
+    c => c === Double.PositiveInfinity || c === Double.NegativeInfinity)
+  val isfiniteOp = UnaryOp("isfinite",
+    c => !(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity))
+  // bitwise complement (integral dtypes)
+  val bnot = UnaryOp("bnot", bitwise_not)
 
   // ---- binary (reference `operator/binary.py:421-460`) ----
   val first  = BinaryOp("first", (a, _) => a)
@@ -78,6 +106,35 @@ object Ops {
   val lor    = BinaryOp("lor", (a, b) => a.cast("boolean") || b.cast("boolean"))
   val land   = BinaryOp("land", (a, b) => a.cast("boolean") && b.cast("boolean"))
   val lxor   = BinaryOp("lxor", (a, b) => a.cast("boolean") =!= b.cast("boolean"))
+  val lxnor  = BinaryOp("lxnor", (a, b) => a.cast("boolean") === b.cast("boolean"))
+  // integer division contracts pinned in Types (`operator/binary.py:849-861`)
+  val cdiv     = BinaryOp("cdiv", Types.cdiv)
+  val floordiv = BinaryOp("floordiv", Types.floordiv)
+  val fmod      = BinaryOp("fmod", (a, b) => a % b)           // C fmod: sign of dividend
+  val remainder = BinaryOp("remainder", Types.floormod)       // numpy: sign of divisor
+  // bitwise (`operator/binary.py:421-460` bor/band/bxor/bxnor, bget/bset/bclr/bshift)
+  val bor   = BinaryOp("bor", _ bitwiseOR _)
+  val band  = BinaryOp("band", _ bitwiseAND _)
+  val bxor  = BinaryOp("bxor", _ bitwiseXOR _)
+  val bxnor = BinaryOp("bxnor", (a, b) => bitwise_not(a bitwiseXOR b))
+  // bit-position ops: second arg is the bit index (shift amount must be a
+  // Column → SQL shiftleft/shiftright via call_function)
+  private def shl(a: Column, n: Column): Column = call_function("shiftleft", a, n.cast("int"))
+  private def shr(a: Column, n: Column): Column = call_function("shiftright", a, n.cast("int"))
+  val bget = BinaryOp("bget", (a, b) => shr(a, b).bitwiseAND(lit(1L)))
+  val bset = BinaryOp("bset", (a, b) => a.bitwiseOR(shl(lit(1L), b)))
+  val bclr = BinaryOp("bclr", (a, b) => a.bitwiseAND(bitwise_not(shl(lit(1L), b))))
+  val bshift = BinaryOp("bshift", (a, b) =>
+    when(b >= 0, shl(a, b)).otherwise(shr(a, -b)))
+  // float pairs
+  val atan2Op  = BinaryOp("atan2", atan2(_, _))
+  val hypotOp  = BinaryOp("hypot", (a, b) => sqrt(a * a + b * b))
+  val ldexpOp  = BinaryOp("ldexp", (a, b) => a * pow(lit(2.0), b))
+  val copysign = BinaryOp("copysign",
+    (a, b) => when(b < 0, -abs(a)).otherwise(abs(a)))
+  val absfirst  = BinaryOp("absfirst", (a, _) => abs(a))
+  val abssecond = BinaryOp("abssecond", (_, b) => abs(b))
+  val rpow      = BinaryOp("rpow", (a, b) => pow(b, a))
 
   // ---- monoids (reference `operator/monoid.py:239-255`) ----
   val plusMonoid  = Monoid("plus", plus, lit(0.0), sum)
@@ -96,6 +153,29 @@ object Ops {
       .otherwise(when(negCnt % 2 === 0, mag).otherwise(-mag))
   })
 
+  // bitwise monoids (`monoid.py:239-255`): identities are the respective
+  // absorbing-free elements (0 for or/xor, all-ones for and/xnor)
+  val borMonoid  = Monoid("bor", bor, lit(0L), bit_or)
+  val bandMonoid = Monoid("band", band, lit(-1L), bit_and)
+  val bxorMonoid = Monoid("bxor", bxor, lit(0L), bit_xor)
+  // xnor-fold of n items = xor of all, complemented when n is even
+  // (x XNOR y = NOT(x XOR y); the complements cancel pairwise)
+  val bxnorMonoid = Monoid("bxnor", bxnor, lit(-1L),
+    c => when(count(c) % 2 === 0, bitwise_not(bit_xor(c))).otherwise(bit_xor(c)))
+  // logical xor fold = parity of trues; lxnor/eq fold = its complement when
+  // item count is even (same cancellation as bxnor)
+  val lxorMonoid = Monoid("lxor", lxor, lit(false),
+    c => pmod(sum(when(c.cast("boolean"), 1L).otherwise(0L)), lit(2L)) === 1)
+  val lxnorMonoid = Monoid("lxnor", lxnor, lit(true),
+    c => (pmod(sum(when(c.cast("boolean"), 1L).otherwise(0L)), lit(2L)) === 1) ===
+      (count(c) % 2 === 1))
+  /** eq monoid = lxnor on BOOL (`monoid.py` eq) */
+  val eqMonoid = Monoid("eq", BinaryOp("eq_bool",
+    (a, b) => a.cast("boolean") === b.cast("boolean")), lit(true), lxnorMonoid.agg)
+  /** `any` monoid: "pick either" — deterministic as min (documented
+    * divergence, SURVEY.md §7.4; reference allows any element). */
+  val anyMonoid = Monoid("any", anyOp, lit(null), min)
+
   // ---- semirings we must have (SURVEY.md §2.6) ----
   val plusTimes  = Semiring("plus_times", plusMonoid, times)
   val plusSecond = Semiring("plus_second", plusMonoid, second)
@@ -106,4 +186,36 @@ object Ops {
   val minPlus    = Semiring("min_plus", minMonoid, plus)
   val maxSecond  = Semiring("max_second", maxMonoid, second)
   val lorLand    = Semiring("lor_land", lorMonoid, land)
+
+  // ---- named registries (the reference resolves ops by name through its
+  //      registry machinery, `operator/base.py:704-830`; these maps are our
+  //      equivalent and drive the op/dtype conformance test) ----
+  val unaries: Map[String, UnaryOp] = Seq(
+    identityOp, ainv, minv, absOp, lnot, one, sqrtOp, logOp, expOp, sigNum,
+    ceilOp, floorOp, sinOp, cosOp, tanOp, asinOp, acosOp, atanOp, sinhOp,
+    coshOp, tanhOp, asinhOp, acoshOp, atanhOp, log2Op, log10Op, log1pOp,
+    exp2Op, expm1Op, cbrtOp, roundOp, truncOp, isnanOp, isinfOp, isfiniteOp,
+    bnot).map(u => u.name -> u).toMap
+
+  val binaries: Map[String, BinaryOp] = Seq(
+    first, second, pair, anyOp, plus, minus, rminus, times, truediv, rdiv,
+    minBin, maxBin, powOp, eq, ne, gt, lt, ge, le, lor, land, lxor, lxnor,
+    cdiv, floordiv, fmod, remainder, bor, band, bxor, bxnor, bget, bset,
+    bclr, bshift, atan2Op, hypotOp, ldexpOp, copysign, absfirst, abssecond,
+    rpow).map(b => b.name -> b).toMap
+
+  val monoids: Map[String, Monoid] = Seq(
+    plusMonoid, minMonoid, maxMonoid, lorMonoid, landMonoid, timesMonoid,
+    minLongMonoid, borMonoid, bandMonoid, bxorMonoid, bxnorMonoid,
+    lxorMonoid, lxnorMonoid, eqMonoid, anyMonoid).map(m => m.name -> m).toMap
+
+  /** full `{monoid}_{binaryop}` semiring catalog (`semiring.py:185-218`
+    * builds these combinatorially; dtype validity is checked at use, as in
+    * the reference's per-dtype typed variants). */
+  lazy val semirings: Map[String, Semiring] = (for {
+    (mn, m) <- monoids.toSeq
+    (bn, b) <- binaries.toSeq
+  } yield s"${mn}_$bn" -> Semiring(s"${mn}_$bn", m, b)).toMap
+
+  def semiring(name: String): Semiring = semirings(name)
 }

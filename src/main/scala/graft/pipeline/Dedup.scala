@@ -35,12 +35,24 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs: candidates from shared shingles only
-    * (inverted-index join), similarity = |∩| / |∪|, thresholded. */
+    * (inverted-index join), similarity = |∩| / |∪| over the df-capped
+    * shingle universe, thresholded.
+    *
+    * `maxDf` is the scale guard: a shingle shared by k documents emits k²
+    * rows in the self-join, so one stopword shingle at web scale is a
+    * cartesian bomb. Shingles with document frequency > maxDf are dropped
+    * from the index BEFORE the join (the standard inverted-index df-cap);
+    * per-doc shingle counts are computed over the same capped universe so
+    * the Jaccard stays an exact set similarity on that universe.
+    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        w: Int = 3): DataFrame = {
-    // the shingle table feeds three plan branches (both join sides + the
-    // per-doc counts) — persist it so tokenization/explode runs once
-    val sh = shingles(docs, w).persist()
+                        w: Int = 3, maxDf: Int = 50): DataFrame = {
+    // the capped shingle table feeds three plan branches (both join sides +
+    // the per-doc counts) — persist it so tokenize/explode/df-cap run once
+    val all = shingles(docs, w)
+    val rare = all.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("shingle")
+    val sh = all.join(rare, "shingle").persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -56,33 +68,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Portable token hash: pure arithmetic over the first/second/last code
-    * points + length. Weak but deterministic and SQL-expressible. */
-  def tokenHash(t: Column): Column = {
-    val padded = concat(t, lit("##"))
-    (ascii(substring(padded, 1, 1)).cast("long") * 1000003L
-      + length(t).cast("long") * 10007L
-      + ascii(substring(padded, 2, 1)).cast("long") * 101L
-      + ascii(substring(padded, 3, 1)).cast("long")) % 2147483647L
+  private val P = 2147483647L
+  /** number of leading code points folded into the token hash — 24 covers
+    * whole 3-word shingles, not just single tokens */
+  val hashPrefixLen = 24
+  /** 31^k mod P — precomputed so per-term products stay below 2^63 */
+  def powMod31(k: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < k) { r = r * 31 % P; i += 1 }
+    r
   }
 
-  private val P = 2147483647L
+  /** Portable full-prefix polynomial token hash:
+    * Σ_{i<12} ascii(tok'[i]) · 31^(11-i) + len(tok) · 10007  (mod P), with
+    * tok' = tok right-padded/truncated to 12 chars. Pure integer arithmetic
+    * over code points — byte-identical in ANSI SQL for the DuckDB oracle and
+    * engine-version-independent, unlike xxhash64. The prefix covers whole
+    * words (not 3 chars as in round 1), so MinHash signatures carry real
+    * entropy and LSH bands prune instead of degenerating to all-pairs. */
+  def tokenHash(t: Column): Column = {
+    val padded = rpad(t, hashPrefixLen, "#")
+    val terms = (1 to hashPrefixLen).map { i =>
+      ascii(substring(padded, i, 1)).cast("long") * powMod31(hashPrefixLen - i) % P
+    }
+    (terms.reduce(_ + _) + length(t).cast("long") * 10007L % P) % P
+  }
   // fixed MinHash permutation coefficients (odd multipliers)
   private val minhashCoef: Seq[(Long, Long)] = Seq(
     (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
     (22695477L, 1L), (134775813L, 1L), (214013L, 2531011L),
     (48271L, 0L), (16807L, 0L))
 
-  /** MinHash signatures: sig_i(doc) = min over tokens of (a_i*h + b_i) mod P.
-    * Output: (doc_id, mh0..mh7). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), " +")).as("tok")).distinct()
-    val h = tokenHash(col("tok"))
+  /** MinHash signatures over w-word SHINGLES (not unigram tokens):
+    * sig_i(doc) = min over shingles of (a_i*h + b_i) mod P.
+    * Shingle-based MinHash estimates the n-gram Jaccard — the actual
+    * near-dup criterion — whereas unigram MinHash estimates vocabulary
+    * overlap, which is high between ANY two same-domain documents and made
+    * round 1's LSH candidate set degenerate to 40% of all pairs.
+    * Output: (doc_id, mh0..mh7); docs with < w words yield no row. */
+  def minhashSignatures(docs: DataFrame, w: Int = 3): DataFrame = {
+    val sh = shingles(docs, w)
+    val h = tokenHash(col("shingle"))
     val aggs = minhashCoef.zipWithIndex.map { case ((a, b), i) =>
       min((h * a + b) % P).as(s"mh$i")
     }
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over the MinHash signature (2 bands × 4 rows): candidate

@@ -58,6 +58,18 @@ object Similarity {
     emb.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
   }
 
+  /** Bucket count for a target average occupancy: 2^nBits ≈ N / targetOcc.
+    * Fixed nBits makes the per-bucket pair join Θ(N²/2^nBits) — quadratic
+    * again at scale; deriving nBits from the corpus size bounds expected
+    * bucket occupancy (and so per-bucket join work) as N grows. */
+  def adaptiveBits(n: Long, targetOcc: Int = 64): Int =
+    math.max(1, math.ceil(math.log(n.toDouble / targetOcc) / math.log(2.0)).toInt)
+
+  /** Scale path: ANN with bucket count derived from the corpus size (one
+    * count job, then the bucketed join). */
+  def annTopKAdaptive(emb: DataFrame, k: Int = 10, targetOcc: Int = 64): DataFrame =
+    annTopK(emb, adaptiveBits(emb.count(), targetOcc), k)
+
   /** Bucketed ANN: exact cosine, but only within LSH buckets. */
   def annTopK(emb: DataFrame, nBits: Int = 8, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

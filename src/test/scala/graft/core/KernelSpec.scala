@@ -216,6 +216,72 @@ class KernelSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(0L -> ((11.0, 22.0)), 2L -> ((3.0, 4.0)), 3L -> ((5.0, 6.0))))
   }
 
+  // ---- general assign (matrix.py:3116-3295, operations.rst:424-540),
+  //      mirroring test_matrix.py's assign families ----
+
+  test("matrix assign C[rows, cols] << A replaces the region (no accum)") {
+    val a2 = GrbMatrix.fromCoo(spark, Seq((0L, 0L, 100.0), (1L, 1L, 200.0)), GrbShape(2, 2))
+    val rowMap = Seq((0L, 0L), (1L, 3L)).toDF("idx", "target")
+    val colMap = Seq((0L, 1L), (1L, 4L)).toDF("idx", "target")
+    val got = collectM(matA.assign(rowMap, colMap, a2))
+    // region {0,3}×{1,4}: old (0,1)=2 deleted; mapped (0,1)=100, (3,4)=200
+    val want = aMap - ((0L, 1L)) + ((0L, 1L) -> 100.0) + ((3L, 4L) -> 200.0)
+    assert(got == want)
+  }
+
+  test("matrix assign with accum=plus merges region overlaps") {
+    val a2 = GrbMatrix.fromCoo(spark, Seq((0L, 0L, 100.0), (1L, 1L, 200.0)), GrbShape(2, 2))
+    val rowMap = Seq((0L, 0L), (1L, 3L)).toDF("idx", "target")
+    val colMap = Seq((0L, 1L), (1L, 4L)).toDF("idx", "target")
+    val got = collectM(matA.assign(rowMap, colMap, a2, accum = Some(Ops.plus)))
+    val want = aMap + ((0L, 1L) -> 102.0) + ((3L, 4L) -> 200.0)
+    assert(got == want)
+  }
+
+  test("vector scalar assign with and without mask (GrB_Vector_assign_Scalar)") {
+    val targets = Seq(1L, 2L).toDF("target")
+    val got = collectV(vecV.assignScalar(targets, lit(10.0)))
+    assert(got == vMap + (1L -> 10.0) + (2L -> 10.0))
+    val mask = GrbMask(Seq(1L).toDF("id"))
+    val masked = collectV(vecV.assignScalar(targets, lit(10.0), mask = Some(mask)))
+    assert(masked == vMap + (1L -> 10.0)) // id 2 outside mask: untouched (missing)
+  }
+
+  test("row assign C[i, :] << u replaces the row (GrB_Row_assign)") {
+    val u = GrbVector.fromPairs(spark, Seq((2L, 9.0)), 7)
+    val got = collectM(matA.assignRow(0, u))
+    val want = aMap - ((0L, 1L)) - ((0L, 3L)) + ((0L, 2L) -> 9.0)
+    assert(got == want)
+  }
+
+  test("power(0) is the semiring identity diagonal (matrix.py:2840)") {
+    import Extras._
+    val got = collectM(matA.power(0, Ops.plusTimes))
+    assert(got == (0L until 7L).map(i => (i, i) -> 1.0).toMap)
+    // and I @ A == A under the semiring
+    val prod = collectM(matA.power(0, Ops.plusTimes).mxm(matA, Ops.plusTimes))
+    assert(prod == aMap)
+  }
+
+  test("matrix ewise_union fills per-side defaults (matrix.py:2043)") {
+    val b = GrbMatrix.fromCoo(spark, Seq((0L, 1L, 5.0), (6L, 6L, 2.0)), GrbShape(7, 7))
+    val got = collectM(matA.ewiseUnion(b, Ops.minus, lit(0.0), lit(0.0)))
+    val want = (aMap.keySet ++ Set((6L, 6L))).map { k =>
+      k -> (aMap.getOrElse(k, 0.0) - (if (k == (0L, 1L)) 5.0 else if (k == (6L, 6L)) 2.0 else 0.0))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("dup(mask=) and input_mask on extract (matrix.py:683, base.py:356)") {
+    val m = GrbMask(Seq((3L, 0L), (0L, 1L)).toDF("src", "dst"))
+    assert(collectM(matA.dup(m)) == Map((3L, 0L) -> 3.0, (0L, 1L) -> 2.0))
+    // vector extract with input_mask: mask applied to the INPUT before remap
+    val im = GrbMask(Seq(1L, 4L).toDF("id"))
+    val remap = Seq((1L, 0L), (3L, 1L), (4L, 2L)).toDF("old", "new")
+    val got = collectV(vecV.extract(remap, 3, inputMask = Some(im)))
+    assert(got == Map(0L -> 1.0, 2L -> 2.0)) // id 3 masked out of the input
+  }
+
   test("isclose-style comparator: mxv at two partitionings agrees to 1e-6") {
     val a = matA
     val r1 = collectV(a.mxv(vecV, Ops.plusTimes))

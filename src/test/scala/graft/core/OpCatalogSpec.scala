@@ -1,0 +1,150 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Operator-catalog conformance, modeled on the reference's cross-product
+  * coverage test (`graphblas/tests/test_operator_types.py:44`): every named
+  * op is exercised over INT64 and FP64 inputs with pinned expectations, and
+  * every monoid's fast aggregate is checked consistent with its own
+  * (binop, identity) definition by folding the same values through
+  * `aggregate(collect_list(...))`. */
+class OpCatalogSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def evalC(c: Column): Any =
+    spark.range(1).select(c.as("r")).collect()(0).get(0)
+
+  private def d(v: Any): Double = v match {
+    case x: Double => x
+    case x: Float => x.toDouble
+    case x: Long => x.toDouble
+    case x: Int => x.toDouble
+    case x: Boolean => if (x) 1.0 else 0.0
+    case x: java.math.BigDecimal => x.doubleValue
+    case null => Double.NaN
+  }
+
+  test("every named unary op evaluates on FP64 and matches the JVM function") {
+    val x = 0.5
+    val expected: Map[String, Double] = Map(
+      "identity" -> x, "ainv" -> -x, "minv" -> 1.0 / x, "abs" -> x,
+      "one" -> 1.0, "sqrt" -> math.sqrt(x), "log" -> math.log(x),
+      "exp" -> math.exp(x), "signum" -> 1.0, "ceil" -> 1.0, "floor" -> 0.0,
+      "sin" -> math.sin(x), "cos" -> math.cos(x), "tan" -> math.tan(x),
+      "asin" -> math.asin(x), "acos" -> math.acos(x), "atan" -> math.atan(x),
+      "sinh" -> math.sinh(x), "cosh" -> math.cosh(x), "tanh" -> math.tanh(x),
+      "asinh" -> math.log(x + math.sqrt(x * x + 1)),
+      "acosh" -> Double.NaN, // x=0.5 outside domain
+      "atanh" -> 0.5 * math.log(1.5 / 0.5),
+      "log2" -> (math.log(x) / math.log(2)), "log10" -> math.log10(x),
+      "log1p" -> math.log1p(x), "exp2" -> math.pow(2, x),
+      "expm1" -> math.expm1(x), "cbrt" -> math.cbrt(x),
+      "round" -> 1.0, "trunc" -> 0.0,
+      "isnan" -> 0.0, "isinf" -> 0.0, "isfinite" -> 1.0,
+      "lnot" -> 0.0 /* 0.5 casts to true */)
+    Ops.unaries.foreach { case (name, op) =>
+      if (name != "bnot") { // integral-only
+        val got = d(evalC(op(lit(x))))
+        val want = expected(name)
+        if (want.isNaN) assert(got.isNaN, name)
+        else assert(math.abs(got - want) < 1e-12, s"$name: got $got want $want")
+      }
+    }
+    assert(d(evalC(Ops.bnot(lit(5L)))) === -6.0)
+  }
+
+  test("binary ops: pinned INT64 division/bit semantics and FP64 pairs") {
+    // the contracts the reference pins per-dtype (`operator/binary.py:849-861`)
+    val cases: Seq[(Column, Double)] = Seq(
+      Types.cdiv(lit(-7L), lit(2L)) -> -3.0,
+      Types.cdiv(lit(7L), lit(-2L)) -> -3.0,
+      Types.floordiv(lit(-7L), lit(2L)) -> -4.0,
+      Types.floordiv(lit(7L), lit(-2L)) -> -4.0,
+      Types.floordiv(lit(6L), lit(2L)) -> 3.0,
+      Types.rem(lit(-7L), lit(2L)) -> -1.0,
+      Types.floormod(lit(-7L), lit(2L)) -> 1.0,
+      Types.floormod(lit(7L), lit(-2L)) -> -1.0,
+      Ops.bor(lit(5L), lit(3L)) -> 7.0,
+      Ops.band(lit(5L), lit(3L)) -> 1.0,
+      Ops.bxor(lit(5L), lit(3L)) -> 6.0,
+      Ops.bxnor(lit(5L), lit(3L)) -> -7.0,
+      Ops.bget(lit(5L), lit(2L)) -> 1.0,
+      Ops.bget(lit(5L), lit(1L)) -> 0.0,
+      Ops.bset(lit(5L), lit(1L)) -> 7.0,
+      Ops.bclr(lit(5L), lit(2L)) -> 1.0,
+      Ops.bshift(lit(5L), lit(3L)) -> 40.0,
+      Ops.bshift(lit(40L), lit(-3L)) -> 5.0,
+      Ops.atan2Op(lit(1.0), lit(2.0)) -> math.atan2(1.0, 2.0),
+      Ops.hypotOp(lit(3.0), lit(4.0)) -> 5.0,
+      Ops.ldexpOp(lit(1.5), lit(3.0)) -> 12.0,
+      Ops.copysign(lit(3.0), lit(-0.5)) -> -3.0,
+      Ops.copysign(lit(-3.0), lit(0.5)) -> 3.0,
+      Ops.fmod(lit(-7.5), lit(2.0)) -> -1.5,
+      Ops.remainder(lit(-7.5), lit(2.0)) -> 0.5,
+      Ops.absfirst(lit(-3.0), lit(9.0)) -> 3.0,
+      Ops.abssecond(lit(9.0), lit(-3.0)) -> 3.0,
+      Ops.rpow(lit(3.0), lit(2.0)) -> 8.0,
+      Ops.lxnor(lit(true), lit(false)) -> 0.0,
+      Ops.lxnor(lit(true), lit(true)) -> 1.0)
+    cases.zipWithIndex.foreach { case ((c, want), i) =>
+      val got = d(evalC(c))
+      assert(math.abs(got - want) < 1e-12, s"case $i: got $got want $want")
+    }
+    // every registered binary evaluates without throwing on FP64-safe pairs
+    val floatSafe = Ops.binaries -- Seq("bor", "band", "bxor", "bxnor",
+      "bget", "bset", "bclr", "bshift", "cdiv", "floordiv")
+    floatSafe.foreach { case (name, op) => evalC(op(lit(2.0), lit(3.0))); () }
+  }
+
+  test("every monoid's aggregate is consistent with its (binop, identity) fold") {
+    // fold the same values through aggregate(collect_list, identity, binop):
+    // if the fast agg diverges from the op's own definition (like round 1's
+    // `exists` tautology), this catches it
+    val values = Seq(5L, 3L, 9L, 0L, -2L, 7L)
+    val df = values.toDF("v")
+    val skip = Set("any") // `any` has no identity; deterministic-min by doc
+    Ops.monoids.foreach { case (name, m) =>
+      if (!skip(name)) {
+        val fast = d(df.agg(m.agg(col("v")).as("r")).collect()(0).get(0))
+        val fold = d(df.agg(
+          aggregate(sort_array(collect_list(col("v"))), m.identity,
+            (acc, x) => m.binop(acc, x)).as("r")).collect()(0).get(0))
+        assert(math.abs(fast - fold) < 1e-9 || (fast.isNaN && fold.isNaN),
+          s"monoid $name: agg=$fast fold=$fold")
+      }
+    }
+  }
+
+  test("exists aggregator: 1 on non-empty, missing on empty (agg.py:359-380)") {
+    val v = GrbVector(Seq((1L, 2.0)).toDF("id", "v"), 10)
+    val empty = GrbVector(Seq.empty[(Long, Double)].toDF("id", "v"), 10)
+    import Extras._
+    assert(v.aggregate("exists").contains(1))
+    assert(empty.aggregate("exists").isEmpty)
+  }
+
+  test("semiring catalog: generated names resolve and compute") {
+    val a = GrbMatrix(Seq((0L, 1L, 2.0), (1L, 0L, 3.0)).toDF("src", "dst", "v"),
+      GrbShape(2, 2))
+    val r = a.mxm(a, Ops.semiring("max_plus")).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(r === Set((0L, 0L, 5.0), (1L, 1L, 5.0)))
+    assert(Ops.semirings.contains("min_times"))
+    assert(Ops.semirings.contains("bor_band"))
+    assert(Ops.semirings.contains("lxor_land"))
+  }
+
+  test("dtype registry: lookup, unify lattice, spark mapping") {
+    import Types._
+    assert(lookup("INT64").spark === org.apache.spark.sql.types.LongType)
+    assert(unify(INT8, INT32) === INT32)
+    assert(unify(INT64, FP32) === FP64) // int64 doesn't fit fp32 mantissa
+    assert(unify(INT16, FP32) === FP32)
+    assert(unify(BOOL, UINT8) === UINT8)
+    assert(unify(FP32, FP64) === FP64)
+    assert(all.size === 11)
+  }
+}

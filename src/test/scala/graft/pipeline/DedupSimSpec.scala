@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Scale-safety properties of the dedup/ANN operators (round-2 VERDICT items
+  * 2 and 8): LSH must PRUNE (candidate ratio ≪ all-pairs), the shingle
+  * df-cap must defuse hot-shingle join bombs, and ANN bucket occupancy must
+  * stay bounded as the corpus grows. */
+class DedupSimSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private val docsPath = "/root/testdata/sf0.001/documents.parquet"
+
+  test("minhash LSH candidate ratio is < 5% of all pairs on the test corpus") {
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2.0
+    val cand = Dedup.minhashLshCandidates(docs).count()
+    val ratio = cand / allPairs
+    assert(ratio < 0.05, f"LSH is not pruning: $cand of $allPairs%.0f pairs ($ratio%.3f)")
+  }
+
+  test("minhash LSH finds planted exact duplicates") {
+    val docs = spark.read.parquet(docsPath).limit(100)
+    val dup = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(100000L))
+    val cand = Dedup.minhashLshCandidates(docs.unionByName(dup))
+    assert(cand.filter(col("doc_a") === 0 && col("doc_b") === 100000L).count() === 1)
+  }
+
+  test("shingle df-cap defuses a hot-shingle candidate bomb") {
+    val hot = "the quick brown fox jumps over"
+    val docs = (0 until 60)
+      .map(i => (i.toLong, s"$hot unique$i tail$i words$i here$i"))
+      .toDF("doc_id", "text")
+    // without a meaningful cap every pair shares the 6 hot-phrase shingles
+    val loose = Dedup.ngramJaccardPairs(docs, threshold = 0.01, maxDf = 1000).count()
+    assert(loose > 1000, s"expected a candidate bomb without the cap, got $loose")
+    // shingles shared by >50 of the 60 docs are dropped before the self-join
+    val capped = Dedup.ngramJaccardPairs(docs, threshold = 0.01, maxDf = 50).count()
+    assert(capped === 0, s"df-cap did not prune the hot shingles: $capped pairs")
+  }
+
+  test("adaptive ANN: bucket count grows with N, occupancy stays bounded") {
+    def synthEmb(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        k => (pmod(col("id") * 31 + k.cast("long") * 7, lit(97)).cast("double")
+          / 97.0 - 0.5).cast("float")).as("embedding"))
+    val bitsSmall = Similarity.adaptiveBits(512, targetOcc = 64)
+    val bitsBig = Similarity.adaptiveBits(8192, targetOcc = 64)
+    assert(bitsSmall === 3 && bitsBig === 7, s"$bitsSmall, $bitsBig")
+    // with 4x the corpus, bucket count grows 4x → per-bucket join work and
+    // avg occupancy stay of the same order instead of growing with N²
+    for (n <- Seq(512, 2048)) {
+      val b = Similarity.lshBuckets(synthEmb(n), Similarity.adaptiveBits(n, 64))
+      val buckets = b.groupBy("bucket").count()
+      val nBuckets = buckets.count()
+      val maxOcc = buckets.agg(max("count")).collect()(0).getLong(0)
+      assert(nBuckets >= 2, s"n=$n: all vectors in one bucket")
+      assert(maxOcc <= n / 2, s"n=$n: a single bucket holds $maxOcc of $n")
+    }
+  }
+}

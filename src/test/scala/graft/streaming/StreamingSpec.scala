@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Sessionization twins: the scalable session_window path and the
+  * custom-state flatMapGroupsWithState path must agree (same 30-minute gap
+  * semantics: a session closes only when the silence EXCEEDS 30min — an
+  * exactly-30min gap stays in-session, matching session_window). */
+class StreamingSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def mkEvents(rows: Seq[(Long, Long, Double)]) =
+    rows.toDF("user_id", "ts_ms", "value")
+      .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"), col("value"))
+
+  test("session_window sessionize == custom-state sessionize, incl. exact-gap boundary") {
+    val m = 60000L
+    val events = mkEvents(Seq(
+      (1L, 0L, 1.0), (1L, 10 * m, 2.0), (1L, 39 * m, 3.0),   // gaps < 30m: one session
+      (1L, 69 * m, 4.0),                                      // exactly 30m → SAME session
+      (1L, 100 * m, 5.0),                                     // 31m → new session
+      (2L, 5 * m, 1.5), (2L, 200 * m, 2.5),                   // two singleton sessions
+      (3L, 7 * m, 9.0)))                                      // single event
+    val a = EventSessions.sessionize(spark, events)
+      .orderBy("user_id", "session_start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val b = EventSessions.sessionizeCustomState(spark, events)
+      .orderBy("user_id", "session_start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(a.toSeq == b.toSeq)
+    // pinned expectations: the exact-30m gap stays in-session, 31m splits
+    assert(a.toSeq == Seq(
+      (1L, 0L, 69 * m, 4L, 10.0), (1L, 100 * m, 100 * m, 1L, 5.0),
+      (2L, 5 * m, 5 * m, 1L, 1.5), (2L, 200 * m, 200 * m, 1L, 2.5),
+      (3L, 7 * m, 7 * m, 1L, 9.0)))
+  }
+
+  test("session_window plan has no per-user buffering operator") {
+    val events = mkEvents(Seq((1L, 0L, 1.0)))
+    val plan = EventSessions.sessionize(spark, events)
+      .queryExecution.executedPlan.toString
+    // the scale path must be an aggregation (partial-merge capable), not a
+    // FlatMapGroupsWithState that buffers a user's events
+    assert(!plan.contains("FlatMapGroupsWithState"), plan)
+    assert(plan.contains("Aggregate"), plan)
+  }
+}
