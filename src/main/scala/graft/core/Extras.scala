@@ -220,5 +220,35 @@ object Extras {
       val r = v.df.agg(aggregators(name)(col(V)).as("r")).collect()(0)
       if (r.isNullAt(0)) None else Some(r.get(0))
     }
+
+    /** ss.selectk for vectors (`core/ss/vector.py:1403`): k largest/smallest
+      * stored elements, deterministic tie-break on id. One global top-k —
+      * Spark runs sort+limit as per-partition top-k then a k-row merge. */
+    def selectK(k: Int, largest: Boolean = true): GrbVector = {
+      val ord = if (largest) Seq(col(V).desc, col(ID)) else Seq(col(V).asc, col(ID))
+      v.copy(df = v.df.orderBy(ord: _*).limit(k))
+    }
+
+    /** ss.compactify for vectors (`core/ss/vector.py:1453`): squeeze stored
+      * indices to dense 0..nvals-1 keeping id order. */
+    def compactify(): GrbVector = {
+      val w = Window.orderBy(ID)
+      v.copy(df = v.df.withColumn("_rn", (row_number().over(w) - 1).cast("long"))
+        .select(col("_rn").as(ID), col(V)))
+    }
+
+    /** ss.scan for vectors (`core/ss/prefix_scan.py`): running fold in id
+      * order. Single window partition — driver-fixture scale only; use the
+      * matrix rowwise scan for partitioned data. */
+    def scan(agg: Column => Column = sum): GrbVector = {
+      val w = Window.orderBy(ID)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      v.copy(df = v.df.select(col(ID), agg(col(V)).over(w).as(V)))
+    }
+
+    /** apply(indexunaryop, thunk) for vectors (`vector.py:1380` IndexOp
+      * variant): expression over (v, i). */
+    def applyIndexed(f: (Column, Column) => Column): GrbVector =
+      v.copy(df = v.df.select(col(ID), f(col(V), col(ID)).as(V)))
   }
 }

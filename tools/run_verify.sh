@@ -4,5 +4,5 @@ OPENS="java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflec
 FLAGS=""
 for p in $OPENS; do FLAGS="$FLAGS --add-opens $p=ALL-UNNAMED"; done
 MAIN=$1; shift
-exec java $FLAGS -Xmx12g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+exec java $FLAGS -Xmx${SPARK_GRAFT_MEM:-12g} -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
