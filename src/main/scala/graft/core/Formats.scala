@@ -23,6 +23,19 @@ object Formats {
       .agg(sort_array(collect_list(struct(col("dst"), col("v")))).as("_z"))
       .select(col("src"), col("_z.dst").as("dsts"), col("_z.v").as("vals"))
 
+  /** from_csc (`matrix.py:1119`): packed columns (dst, srcs[], vals[]) → COO.
+    * A CSC bucket is the CSR bucket of the transpose — same packed layout
+    * keyed on dst (transpose is a free column swap, SURVEY.md §1.4). */
+  def fromCscBuckets(packed: DataFrame): DataFrame =
+    fromCsrBuckets(packed.select(col("dst").as("src"),
+      col("srcs").as("dsts"), col("vals")))
+      .select(col("dst").as("src"), col("src").as("dst"), col("v"))
+
+  /** to_csc (`matrix.py:1695`): COO → packed columns, srcs sorted per dst. */
+  def toCscBuckets(coo: DataFrame): DataFrame =
+    toCsrBuckets(coo.select(col("dst").as("src"), col("src").as("dst"), col("v")))
+      .select(col("src").as("dst"), col("dsts").as("srcs"), col("vals"))
+
   /** from_dense (`matrix.py:1398`): local 2-D array (row-major) with an
     * optional missing sentinel → sparse COO DataFrame. Driver-side (test
     * fixtures only). */

@@ -23,6 +23,13 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(collectM(GrbMatrix(back, GrbShape(7, 7))) == collectM(matA))
   }
 
+  test("CSC-bucket round trip: to_csc → from_csc == identity (matrix.py:1119)") {
+    val packed = Formats.toCscBuckets(matA.df)
+    assert(packed.columns.toSeq == Seq("dst", "srcs", "vals"))
+    val back = Formats.fromCscBuckets(packed)
+    assert(collectM(GrbMatrix(back, GrbShape(7, 7))) == collectM(matA))
+  }
+
   test("dense round trip with missing sentinel (from_dense/to_dense)") {
     val dense = Formats.toDense(matA, fill = -1.0)
     val back = Formats.fromDense(spark, dense.map(_.toSeq).toSeq, missing = Some(-1.0))
