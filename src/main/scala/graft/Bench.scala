@@ -63,16 +63,23 @@ object Bench {
     // Per-round scaling protocol (BENCH/BASELINE.md): report BOTH the
     // 2→8-core point (the criterion range — cores are the scaled resource)
     // and the 8→32 point (DRAM-bandwidth-bound on this box, tracked for
-    // transparency) every round. Compact config: 1M pages / ~10M edges,
-    // 3 iters, 2 interleaved trials. SPARK_GRAFT_SCALING=0 skips.
+    // transparency) every round. Round-1 protocol size (10M pages / 100M
+    // edges, 2 iters): small inputs are serial-floor-dominated at 8+ cores
+    // and under-report efficiency. Levels interleaved (2,8,32)×trials, min
+    // per level, the shared 8-core min serving both pairs.
+    // SPARK_GRAFT_SCALING=0 skips.
     val scalingJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "0") "[]"
       else {
-        val nP = 1000000L
+        val nP = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAGES", "10000000").toLong
+        val iters = 2
         val edgePath = ScalingBench.ensureEdges(nP)
-        val p28 = ScalingBench.measurePair(edgePath, nP, 2, 8, iters = 3, trials = 2)
-        val p832 = ScalingBench.measurePair(edgePath, nP, 8, 32, iters = 3, trials = 2)
-        s"[${p28.json},${p832.json}]"
+        val levels = ScalingBench.measureLevels(edgePath, nP, Seq(2, 8, 32),
+          iters = iters, trials = 2)
+        val nE = ScalingBench.lastEdges
+        def pair(lo: Int, hi: Int) = ScalingBench.PairResult(
+          nP, nE, iters, lo, hi, levels(lo), levels(hi)).json
+        s"[${pair(2, 8)},${pair(8, 32)}]"
       }
 
     println(

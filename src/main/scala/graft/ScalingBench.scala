@@ -72,27 +72,43 @@ object ScalingBench {
     }
   }
 
+  /** edge count of the most recent timeOnce build (untimed metadata) */
+  var lastEdges: Long = 0L
+
+  def timeOnce(edgePath: String, nPages: Long, cpus: Int, iters: Int): Double = {
+    val s = session(cpus, cpus * 2)
+    val edges = s.read.parquet(edgePath)
+    val adj = Adjacency.build(edges, nPages, cpus * 2)
+    lastEdges = adj.numEdges
+    PageRank.run(s, adj, tol = 0.0, maxIter = 1) // warm-up (JIT, caches)
+    val t0 = System.nanoTime()
+    PageRank.run(s, adj, tol = 0.0, maxIter = iters)
+    val sec = (System.nanoTime() - t0) / 1e9
+    s.stop()
+    sec
+  }
+
   /** One N → 4N measurement: interleaved trials in one JVM, per-level
     * minimum (the noise filter this shared host requires). */
   def measurePair(edgePath: String, nPages: Long, lowCpus: Int, highCpus: Int,
                   iters: Int, trials: Int): PairResult = {
-    var nEdges = 0L
-    def timeOnce(cpus: Int): Double = {
-      val s = session(cpus, cpus * 2)
-      val edges = s.read.parquet(edgePath)
-      val adj = Adjacency.build(edges, nPages, cpus * 2)
-      nEdges = adj.numEdges
-      PageRank.run(s, adj, tol = 0.0, maxIter = 1) // warm-up (JIT, caches)
-      val t0 = System.nanoTime()
-      PageRank.run(s, adj, tol = 0.0, maxIter = iters)
-      val sec = (System.nanoTime() - t0) / 1e9
-      s.stop()
-      sec
-    }
     val (lows, highs) = (1 to trials).map { _ =>
-      (timeOnce(lowCpus), timeOnce(highCpus))
+      (timeOnce(edgePath, nPages, lowCpus, iters),
+        timeOnce(edgePath, nPages, highCpus, iters))
     }.unzip
-    PairResult(nPages, nEdges, iters, lowCpus, highCpus, lows, highs)
+    PairResult(nPages, lastEdges, iters, lowCpus, highCpus, lows, highs)
+  }
+
+  /** Interleaved multi-level protocol: each trial visits every level once
+    * (2, 8, 32, 2, 8, 32, …), per-level minimum; adjacent-level pairs share
+    * the middle level's sessions — one 8-core measurement serves both the
+    * 2→8 and 8→32 efficiency points. */
+  def measureLevels(edgePath: String, nPages: Long, levels: Seq[Int],
+                    iters: Int, trials: Int): Map[Int, Seq[Double]] = {
+    val obs = (1 to trials).flatMap { _ =>
+      levels.map(c => c -> timeOnce(edgePath, nPages, c, iters))
+    }
+    obs.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
   }
 
   def main(args: Array[String]): Unit = {

@@ -35,7 +35,9 @@ object SparkEntry {
     * realistic instead of saturating to a near-complete graph (VERDICT r1:
     * `% 937` at sf0.1 made triangle_count a dense-fixture artifact). */
   private def gmod(dir: String): Long = if (dir.contains("sf0.1")) 9973L else 937L
-  private def mmod(dir: String): Long = if (dir.contains("sf0.1")) 997L else 97L
+  // M must scale with the data too: 997 at sf0.1 gave a 45%-dense matrix and
+  // a 200M-row mxm intermediate (22.9s) — a density artifact, not a plan cost
+  private def mmod(dir: String): Long = if (dir.contains("sf0.1")) 9973L else 97L
 
   /** directed graph G over gmod vertices from lineitem (no self-loops) */
   private def edgesG(s: SparkSession, dir: String): DataFrame = {
@@ -726,11 +728,11 @@ object SparkEntry {
     "doc_fingerprint" -> docFingerprintSql,
 
     "ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
         |           FROM documents),
-        |s0 AS (SELECT DISTINCT doc_id,
-        |        w[i] || '_' || w[i+1] || '_' || w[i+2] AS shingle
-        |      FROM t, unnest(range(1, greatest(len(w) - 1, 1))) u(i)),
+        |s00 AS (SELECT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS shs
+        |        FROM t, unnest(range(1, greatest(len(w) - 1, 1))) u(i)),
+        |s0 AS (SELECT DISTINCT doc_id, ${sqlShingleId("shs")} AS shingle FROM s00),
         |rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 50),
         |s AS (SELECT s0.doc_id, s0.shingle FROM s0 JOIN rare USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
@@ -846,14 +848,20 @@ object SparkEntry {
        |FROM h""".stripMargin
   }
 
-  /** byte-identical mirror of Dedup.tokenHash (full-prefix-12 polynomial) */
-  private val sqlTokenHash: String = {
+  /** byte-identical mirror of Dedup.polyHash over an arbitrary SQL expr */
+  private def sqlPolyHash(e: String, base: Long, prime: Long, lenMul: Long): String = {
     val n = Dedup.hashPrefixLen
     val terms = (1 to n).map { i =>
-      s"(ascii(substr(rpad(tok, $n, '#'), $i, 1)) * CAST(${Dedup.powMod31(n - i)} AS BIGINT)) % 2147483647"
+      s"(ascii(substr(rpad($e, $n, '#'), $i, 1)) * CAST(${Dedup.powMod(base, n - i, prime)} AS BIGINT)) % $prime"
     }.mkString(" + ")
-    s"(($terms) + (length(tok) * 10007) % 2147483647) % 2147483647"
+    s"(($terms) + (length($e) * $lenMul) % $prime) % $prime"
   }
+  /** mirror of Dedup.tokenHash */
+  private val sqlTokenHash: String = sqlPolyHash("tok", 31, 2147483647L, 10007L)
+  /** mirror of Dedup.shingleId (62-bit combined hash) */
+  private def sqlShingleId(e: String): String =
+    s"(${sqlPolyHash(e, 31, 2147483647L, 10007L)}) * 2147483648" +
+      s" + (${sqlPolyHash(e, 37, 2147483629L, 10009L)})"
 
   private val minhashCoefSql: Seq[(Long, Long)] = Seq(
     (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),

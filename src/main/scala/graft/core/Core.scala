@@ -171,6 +171,14 @@ final case class GrbVector(df: DataFrame, size: Long) {
   def select(pred: (Column, Column) => Column): GrbVector =
     copy(df = df.filter(pred(col(V), col(ID))))
 
+  /** select by a NAMED SelectOp (vector form: j == i). */
+  def select(op: IndexUnaryOp, thunk: Column): GrbVector =
+    copy(df = df.filter(op(col(V), col(ID), col(ID), thunk)))
+
+  /** apply a NAMED IndexUnaryOp with thunk (vector form). */
+  def applyIndexOp(op: IndexUnaryOp, thunk: Column): GrbVector =
+    copy(df = df.select(col(ID), op(col(V), col(ID), col(ID), thunk).as(V)))
+
   def ewiseMult(other: GrbVector, op: BinaryOp): GrbVector =
     copy(df = Kernels.ewiseMultDF(df, other.df, Seq(ID), op))
 
@@ -317,6 +325,15 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     * e.g. tril = (v,i,j) => j < i ; valuegt(t) = (v,_,_) => v > t */
   def select(pred: (Column, Column, Column) => Column): GrbMatrix =
     copy(df = df.filter(pred(col(V), col(SRC), col(DST))))
+
+  /** select by a NAMED SelectOp from the catalog with thunk
+    * (`GrB_Matrix_select_*`, `operator/select.py`). */
+  def select(op: IndexUnaryOp, thunk: Column): GrbMatrix =
+    copy(df = df.filter(op(col(V), col(SRC), col(DST), thunk)))
+
+  /** apply a NAMED IndexUnaryOp with thunk (`GrB_Matrix_apply_IndexOp_*`). */
+  def applyIndexOp(op: IndexUnaryOp, thunk: Column): GrbMatrix =
+    copy(df = df.select(col(SRC), col(DST), op(col(V), col(SRC), col(DST), thunk).as(V)))
 
   def ewiseMult(other: GrbMatrix, op: BinaryOp): GrbMatrix =
     copy(df = Kernels.ewiseMultDF(df, other.df, Seq(SRC, DST), op))

@@ -37,6 +37,14 @@ final case class Monoid(name: String, binop: BinaryOp, identity: Column, agg: Co
   */
 final case class Semiring(name: String, add: Monoid, mult: BinaryOp)
 
+/** IndexUnaryOp / SelectOp (`operator/indexunary.py:94-110`,
+  * `operator/select.py`): f(value, i, j, thunk) → Column. Used by
+  * `apply(indexunaryop)` (projection) and `select(selectop)` (predicate —
+  * boolean-valued entries of this catalog). For vectors, j == i. */
+final case class IndexUnaryOp(name: String, f: (Column, Column, Column, Column) => Column) {
+  def apply(v: Column, i: Column, j: Column, thunk: Column): Column = f(v, i, j, thunk)
+}
+
 object Ops {
   // ---- unary (reference `operator/unary.py`; all map to codegen'd
   //      org.apache.spark.sql.functions) ----
@@ -208,6 +216,31 @@ object Ops {
     plusMonoid, minMonoid, maxMonoid, lorMonoid, landMonoid, timesMonoid,
     minLongMonoid, borMonoid, bandMonoid, bxorMonoid, bxnorMonoid,
     lxorMonoid, lxnorMonoid, eqMonoid, anyMonoid).map(m => m.name -> m).toMap
+
+  /** the ~20 named IndexUnary/Select ops (`operator/indexunary.py:94-110`;
+    * positional rowindex/colindex coerce to INT64 per
+    * `operator/binary.py:865-877`) */
+  val indexUnaries: Map[String, IndexUnaryOp] = Seq(
+    IndexUnaryOp("rowindex", (_, i, _, t) => i + t),
+    IndexUnaryOp("colindex", (_, _, j, t) => j + t),
+    IndexUnaryOp("diagindex", (_, i, j, t) => j - i + t),
+    IndexUnaryOp("tril", (_, i, j, t) => j <= i + t),
+    IndexUnaryOp("triu", (_, i, j, t) => j >= i + t),
+    IndexUnaryOp("diag", (_, i, j, t) => j - i === t),
+    IndexUnaryOp("offdiag", (_, i, j, t) => j - i =!= t),
+    IndexUnaryOp("colle", (_, _, j, t) => j <= t),
+    IndexUnaryOp("colgt", (_, _, j, t) => j > t),
+    IndexUnaryOp("rowle", (_, i, _, t) => i <= t),
+    IndexUnaryOp("rowgt", (_, i, _, t) => i > t),
+    IndexUnaryOp("indexle", (_, i, _, t) => i <= t),
+    IndexUnaryOp("indexgt", (_, i, _, t) => i > t),
+    IndexUnaryOp("valueeq", (v, _, _, t) => v === t),
+    IndexUnaryOp("valuene", (v, _, _, t) => v =!= t),
+    IndexUnaryOp("valuelt", (v, _, _, t) => v < t),
+    IndexUnaryOp("valuele", (v, _, _, t) => v <= t),
+    IndexUnaryOp("valuegt", (v, _, _, t) => v > t),
+    IndexUnaryOp("valuege", (v, _, _, t) => v >= t)
+  ).map(o => o.name -> o).toMap
 
   /** full `{monoid}_{binaryop}` semiring catalog (`semiring.py:185-218`
     * builds these combinatorially; dtype validity is checked at use, as in

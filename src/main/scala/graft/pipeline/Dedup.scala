@@ -22,8 +22,8 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"))
 
-  /** word w-shingles (w=3), distinct per doc: (doc_id, shingle) */
-  def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
+  /** word w-shingles (w=3), one row per occurrence: (doc_id, shingle) */
+  def shinglesRaw(docs: DataFrame, w: Int = 3): DataFrame = {
     val toks = split(trim(col("text")), " +")
     val nSh = size(toks) - (w - 1)
     // guard: Spark's sequence(1, 0) is DESCENDING [1,0], not empty
@@ -31,8 +31,12 @@ object Dedup {
       transform(sequence(lit(1), nSh),
         i => concat_ws("_", (0 until w).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array())
-    docs.select(col("doc_id"), explode(sh).as("shingle")).distinct()
+    docs.select(col("doc_id"), explode(sh).as("shingle"))
   }
+
+  /** word w-shingles, distinct per doc */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame =
+    shinglesRaw(docs, w).distinct()
 
   /** n-gram Jaccard near-dup pairs: candidates from shared shingles only
     * (inverted-index join), similarity = |∩| / |∪| over the df-capped
@@ -47,9 +51,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         w: Int = 3, maxDf: Int = 50): DataFrame = {
-    // the capped shingle table feeds three plan branches (both join sides +
-    // the per-doc counts) — persist it so tokenize/explode/df-cap run once
-    val all = shingles(docs, w)
+    // shingles are hashed to 62-bit ids AT EXPLODE TIME: the distinct, the
+    // df-cap, and the self-join below shuffle and compare 8-byte longs, not
+    // ~20-byte strings. The capped shingle table feeds three plan branches
+    // (both join sides + the per-doc counts) — persist it so the
+    // tokenize/explode/hash/df-cap chain runs once
+    val all = shinglesRaw(docs, w)
+      .select(col("doc_id"), shingleId(col("shingle")).as("shingle")).distinct()
+      .persist() // feeds the df histogram AND the capped index
     val rare = all.groupBy("shingle").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select("shingle")
     val sh = all.join(rare, "shingle").persist()
@@ -69,30 +78,41 @@ object Dedup {
   }
 
   private val P = 2147483647L
+  private val P2 = 2147483629L
   /** number of leading code points folded into the token hash — 24 covers
     * whole 3-word shingles, not just single tokens */
   val hashPrefixLen = 24
-  /** 31^k mod P — precomputed so per-term products stay below 2^63 */
-  def powMod31(k: Int): Long = {
+  /** base^k mod prime — precomputed so per-term products stay below 2^63 */
+  def powMod(base: Long, k: Int, prime: Long): Long = {
     var r = 1L; var i = 0
-    while (i < k) { r = r * 31 % P; i += 1 }
+    while (i < k) { r = r * base % prime; i += 1 }
     r
   }
+  def powMod31(k: Int): Long = powMod(31, k, P)
 
-  /** Portable full-prefix polynomial token hash:
-    * Σ_{i<12} ascii(tok'[i]) · 31^(11-i) + len(tok) · 10007  (mod P), with
-    * tok' = tok right-padded/truncated to 12 chars. Pure integer arithmetic
+  /** Portable full-prefix polynomial hash:
+    * Σ_{i<24} ascii(t'[i]) · base^(23-i) + len(t) · lenMul  (mod prime),
+    * with t' = t right-padded/truncated to 24 chars. Pure integer arithmetic
     * over code points — byte-identical in ANSI SQL for the DuckDB oracle and
-    * engine-version-independent, unlike xxhash64. The prefix covers whole
-    * words (not 3 chars as in round 1), so MinHash signatures carry real
-    * entropy and LSH bands prune instead of degenerating to all-pairs. */
-  def tokenHash(t: Column): Column = {
+    * engine-version-independent, unlike xxhash64. */
+  def polyHash(t: Column, base: Long, prime: Long, lenMul: Long): Column = {
     val padded = rpad(t, hashPrefixLen, "#")
     val terms = (1 to hashPrefixLen).map { i =>
-      ascii(substring(padded, i, 1)).cast("long") * powMod31(hashPrefixLen - i) % P
+      ascii(substring(padded, i, 1)).cast("long") * powMod(base, hashPrefixLen - i, prime) % prime
     }
-    (terms.reduce(_ + _) + length(t).cast("long") * 10007L % P) % P
+    (terms.reduce(_ + _) + length(t).cast("long") * lenMul % prime) % prime
   }
+
+  /** 31-bit token hash (the prefix covers whole words — round 1's 3-char
+    * hash had so little entropy the LSH degenerated to all-pairs). */
+  def tokenHash(t: Column): Column = polyHash(t, 31, P, 10007L)
+
+  /** 62-bit shingle id: two independent 31-bit polynomial hashes combined.
+    * Collision-free in practice at web scale (birthday bound ~2^31 distinct
+    * shingles), and 8 bytes instead of a ~20-byte string — the shingle
+    * self-join shuffles/compares longs, not strings. */
+  def shingleId(t: Column): Column =
+    polyHash(t, 31, P, 10007L) * 2147483648L + polyHash(t, 37, P2, 10009L)
   // fixed MinHash permutation coefficients (odd multipliers)
   private val minhashCoef: Seq[(Long, Long)] = Seq(
     (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),

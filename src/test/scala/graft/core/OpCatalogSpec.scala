@@ -137,6 +137,23 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
     assert(Ops.semirings.contains("lxor_land"))
   }
 
+  test("named IndexUnary/Select catalog (operator/indexunary.py:94-110)") {
+    val m = GrbMatrix(Seq((2L, 1L, 5.0), (1L, 2L, 3.0), (2L, 2L, 7.0))
+      .toDF("src", "dst", "v"), GrbShape(3, 3))
+    def keys(x: GrbMatrix) = x.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys(m.select(Ops.indexUnaries("tril"), lit(0L))) ===
+      Set((2L, 1L), (2L, 2L)))
+    assert(keys(m.select(Ops.indexUnaries("triu"), lit(1L))) === Set((1L, 2L)))
+    assert(keys(m.select(Ops.indexUnaries("diag"), lit(0L))) === Set((2L, 2L)))
+    assert(keys(m.select(Ops.indexUnaries("valuegt"), lit(4.0))) ===
+      Set((2L, 1L), (2L, 2L)))
+    // positional apply: value becomes the (offset) row index
+    val ri = m.applyIndexOp(Ops.indexUnaries("rowindex"), lit(10L))
+      .df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ri === Map((2L, 1L) -> 12L, (1L, 2L) -> 11L, (2L, 2L) -> 12L))
+    assert(Ops.indexUnaries.size >= 19)
+  }
+
   test("dtype registry: lookup, unify lattice, spark mapping") {
     import Types._
     assert(lookup("INT64").spark === org.apache.spark.sql.types.LongType)
