@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
+import graft.core.Extras._
 import graft.graph.Adjacency
 import graft.algos._
 import graft.pipeline.{Dedup, Media, Similarity, TextOps}
@@ -63,6 +64,24 @@ object SparkEntry {
         .groupBy("src", "dst").agg(max(col("v")).as("v")),
       GrbShape(n, n))
   }
+
+  /** small fixed 97-vertex matrix S (sf-independent: power/flatten queries
+    * need bounded output even at bench SFs). Values are integer cents
+    * (round(l_quantity*100)) so chained products/sums stay EXACT in FP64 —
+    * no rounding needed in the power oracle. */
+  private def matS(s: SparkSession, dir: String): GrbMatrix =
+    GrbMatrix(
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 97).as("src"), (col("l_partkey") % 97).as("dst"),
+          round(col("l_quantity") * 100).cast("double").as("v"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(max(col("v")).as("v")),
+      GrbShape(97, 97))
+
+  private val sqlS =
+    "SELECT l_orderkey % 97 AS src, l_partkey % 97 AS dst, " +
+      "max(CAST(round(l_quantity * 100) AS DOUBLE)) AS v " +
+      "FROM lineitem WHERE l_orderkey % 97 <> l_partkey % 97 GROUP BY 1, 2"
 
   private def vec1(s: SparkSession, dir: String): GrbVector =
     GrbVector(t(s, dir, "customer")
@@ -287,6 +306,34 @@ object SparkEntry {
       vec1(s, d).df.agg(
         min_by(col("id"), struct(col("v"), col("id"))).as("argmin_id"),
         max_by(col("id"), struct(col("v"), (-col("id")).as("nid"))).as("argmax_id"))),
+
+    "vxm_plus_times" -> ((s, d) => {
+      val x = GrbVector(s.range(97).select(col("id"),
+        ((col("id") % 5) + 1).cast("double").as("v")), 97)
+      x.vxm(matS(s, d), Ops.plusTimes).df
+    }),
+
+    "inner_product" -> ((s, d) => {
+      import s.implicits._
+      Seq(vec1(s, d).inner(vec2(s, d), Ops.plusTimes).get.asInstanceOf[Double])
+        .toDF("ip").select(round(col("ip"), 2).as("ip"))
+    }),
+
+    "power3" -> ((s, d) =>
+      // repeated-squaring power: M·(M·M) — exact (integer-cent values)
+      matS(s, d).power(3, Ops.plusTimes).df),
+
+    "apply_bind" -> ((s, d) =>
+      // bind-1st then bind-2nd: (10000 - v) / 2
+      vec1(s, d).applyLeft(Ops.minus, lit(10000.0))
+        .applyRight(Ops.truediv, lit(2.0)).df
+        .select(col("id"), round(col("v"), 4).as("v"))),
+
+    "reposition_vec" -> ((s, d) => vec1(s, d).reposition(7).df),
+
+    "flatten_small" -> ((s, d) => matS(s, d).flatten().df),
+
+    "compactify_vec" -> ((s, d) => vec1(s, d).compactify().df),
 
     // ===== dtype contracts: INT64 end-to-end (core.types) =====
     "int64_div_mod" -> ((s, d) => {
@@ -591,6 +638,32 @@ object SparkEntry {
       s"""SELECT (SELECT id FROM ($sqlV1) ORDER BY v ASC, id LIMIT 1) AS argmin_id,
          |       (SELECT id FROM ($sqlV1) ORDER BY v DESC, id LIMIT 1) AS argmax_id"""
         .stripMargin,
+
+    "vxm_plus_times" ->
+      s"SELECT dst AS id, sum((src % 5 + 1) * v) AS v FROM ($sqlS) GROUP BY dst",
+
+    "inner_product" ->
+      s"SELECT round(sum(a.v * b.v), 2) AS ip FROM ($sqlV1) a JOIN ($sqlV2) b USING (id)",
+
+    "power3" ->
+      s"""WITH m AS ($sqlS),
+         |m2 AS (SELECT a.src AS src, b.dst AS dst, sum(a.v * b.v) AS v
+         |       FROM m a JOIN m b ON a.dst = b.src GROUP BY 1, 2),
+         |m3 AS (SELECT a.src AS src, b.dst AS dst, sum(a.v * b.v) AS v
+         |       FROM m a JOIN m2 b ON a.dst = b.src GROUP BY 1, 2)
+         |SELECT src, dst, v FROM m3""".stripMargin,
+
+    "apply_bind" ->
+      s"SELECT id, round((10000.0 - v) / 2.0, 4) AS v FROM ($sqlV1)",
+
+    "reposition_vec" -> s"SELECT id + 7 AS id, v FROM ($sqlV1)",
+
+    "flatten_small" ->
+      s"SELECT src * 97 + dst AS id, v FROM ($sqlS)",
+
+    "compactify_vec" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS id, v
+         |FROM ($sqlV1)""".stripMargin,
 
     "int64_div_mod" ->
       """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) - 3000 AS a,
