@@ -435,6 +435,10 @@ object SparkEntry {
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshCandidates(t(s, d, "documents"))),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    "simhash_dup_pairs" -> ((s, d) =>
+      Dedup.simhashDupPairs(t(s, d, "documents"), maxHamming = 2)),
+    "embedding_sim_pairs" -> ((s, d) =>
+      Similarity.cosineSimPairs(t(s, d, "embeddings"), threshold = 0.35)),
     "embedding_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 5, k = 10)),
     "embedding_lsh_buckets" -> ((s, d) =>
@@ -821,6 +825,19 @@ object SparkEntry {
     "minhash_signatures" -> minhashSql,
     "minhash_lsh_pairs" -> minhashLshSql,
     "simhash" -> simhashSql,
+    "simhash_dup_pairs" -> simhashDupPairsSql,
+
+    "embedding_sim_pairs" ->
+      s"""WITH bkt AS ($lshBucketsDynSql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |wb AS (SELECT e.vec_id, e.emb, bkt.bucket FROM e JOIN bkt USING (vec_id)),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_dot_product(a.emb, b.emb) /
+         |      (sqrt(list_dot_product(a.emb, a.emb)) *
+         |       sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35""".stripMargin,
 
     "embedding_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -972,13 +989,13 @@ object SparkEntry {
   private def simhashSql: String =
     s"""WITH tok AS (SELECT doc_id,
        |    unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
-       |h AS (SELECT doc_id, $sqlTokenHash AS h FROM tok),
-       |bits AS (SELECT doc_id, h, unnest(range(0, 16)) AS bit FROM h),
+       |h AS (SELECT doc_id, ${sqlShingleId("tok")} AS h FROM tok),
+       |bits AS (SELECT doc_id, h, unnest(range(0, ${Dedup.simhashBits})) AS bit FROM h),
        |bal AS (SELECT doc_id, bit,
-       |    sum((CAST(floor(h / pow(2.0, bit)) AS BIGINT) % 2) * 2 - 1) AS bal
+       |    sum(((h >> bit) & 1) * 2 - 1) AS bal
        |  FROM bits GROUP BY doc_id, bit)
        |SELECT doc_id,
-       |  CAST(sum(CASE WHEN bal > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END)
+       |  CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
        |    AS BIGINT) AS simhash
        |FROM bal GROUP BY doc_id""".stripMargin
 
@@ -999,6 +1016,27 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN p > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT)
       |    AS bucket
       |FROM proj GROUP BY vec_id""".stripMargin
+
+  /** mirror of Dedup.simhashDupPairs: pigeonhole bands (3 bands for ≤2)
+    * over the 62-bit signature, exact hamming via bit_count(xor). */
+  private def simhashDupPairsSql: String = {
+    val maxHamming = 2
+    val nBands = maxHamming + 1
+    val bandBits = Dedup.simhashBits / nBands
+    val bands = (0 until nBands).map { b =>
+      val lo = b * bandBits
+      val width = if (b == nBands - 1) Dedup.simhashBits - lo else bandBits
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> $lo) % ${1L << width} AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sig AS ($simhashSql),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+  }
 
   private def lshBucketsSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -70,6 +70,20 @@ object Similarity {
   def annTopKAdaptive(emb: DataFrame, k: Int = 10, targetOcc: Int = 64): DataFrame =
     annTopK(emb, adaptiveBits(emb.count(), targetOcc), k)
 
+  /** Embedding-cosine similar-pair mining (the embedding near-dup shape):
+    * candidate pairs only within adaptive LSH buckets, exact cosine
+    * thresholded. The quadratic term is per-bucket with bounded occupancy. */
+  def cosineSimPairs(emb: DataFrame, threshold: Double, targetOcc: Int = 64): DataFrame = {
+    val nBits = adaptiveBits(emb.count(), targetOcc)
+    val withB = emb.join(lshBuckets(emb, nBits), "vec_id")
+    val l = withB.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val r = withB.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    l.join(r, "bucket").filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Bucketed ANN: exact cosine, but only within LSH buckets. */
   def annTopK(emb: DataFrame, nBits: Int = 8, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -43,6 +43,21 @@ class DedupSimSpec extends AnyFunSuite with SparkTest {
     assert(capped === 0, s"df-cap did not prune the hot shingles: $capped pairs")
   }
 
+  test("62-bit simhash dup pairs: finds planted dups, prunes same-domain noise") {
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    val dup = docs.filter(col("doc_id") === 3).withColumn("doc_id", lit(200000L))
+    val pairs = Dedup.simhashDupPairs(docs.unionByName(dup), maxHamming = 2).persist()
+    // exact duplicate → identical signature → hamming 0
+    assert(pairs.filter(col("doc_a") === 3 && col("doc_b") === 200000L
+      && col("hamming") === 0).count() === 1)
+    // selectivity: wide simhash must not degenerate toward all-pairs on a
+    // same-vocabulary corpus (16-bit did: 22% of all pairs within hamming 2)
+    val ratio = pairs.count().toDouble / (n * (n + 1) / 2.0)
+    assert(ratio < 0.01, f"simhash not selective: $ratio%.4f")
+    pairs.unpersist()
+  }
+
   test("adaptive ANN: bucket count grows with N, occupancy stays bounded") {
     def synthEmb(n: Int) = spark.range(n).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(15)),
