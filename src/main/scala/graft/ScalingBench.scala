@@ -36,6 +36,7 @@ object ScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
 object BFS {
 
   def levels(spark: SparkSession, edges: DataFrame, source: Long,
-             maxDepth: Int = 64): DataFrame = {
+             maxDepth: Int = 64,
+             checkpointer: Option[graft.runtime.IterationCheckpointer] = None): DataFrame = {
     import spark.implicits._
     import graft.core.Ckpt
     // frontier expansion joins on src every round — persist pre-partitioned
-    val e = edges.repartition(col("src")).persist()
+    val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
     e.count()
     var visited = Ckpt.materialize(Seq((source, 0L)).toDF("id", "level"))
     var frontier = visited.df.select(col("id"))
@@ -35,6 +36,8 @@ object BFS {
       lastNext = Some(next)
       visited = newVisited
       frontier = next.df.select(col("id"))
+      checkpointer.foreach(_.save(visited.df, depth.toInt,
+        Map("frontier" -> frontierSize.toString)))
     }
     lastNext.foreach(_.release())
     e.unpersist()

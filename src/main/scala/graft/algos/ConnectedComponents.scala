@@ -31,7 +31,8 @@ object ConnectedComponents {
           checkpointer: Option[graft.runtime.IterationCheckpointer] = None): CCResult = {
     // persist edges hash-partitioned on dst: the per-round min_second gather
     // joins on dst, so the (big) edge side is shuffled exactly once here
-    val edges = edgesSym.repartition(numPartitions, col("dst")).persist()
+    val edges = edgesSym.repartition(numPartitions, col("dst"))
+      .sortWithinPartitions("dst").persist() // sorted once: SMJ reuses it per round
     edges.count()
 
     var fState = Ckpt.materialize(

@@ -31,7 +31,8 @@ object LabelPropagation {
           maxIter: Int = 10,
           checkpointer: Option[graft.runtime.IterationCheckpointer] = None): LPResult = {
     // gather side of the per-round vote join persisted pre-partitioned on dst
-    val edges = edgesSym.repartition(numPartitions, col("dst")).persist()
+    val edges = edgesSym.repartition(numPartitions, col("dst"))
+      .sortWithinPartitions("dst").persist() // sorted once: SMJ reuses it per round
     edges.count()
     var state = Ckpt.materialize(
       spark.range(n).select(col("id"), col("id").as("lbl")))

@@ -19,9 +19,11 @@ import graft.core.{Ckpt, Kernels, Ops}
 object SSSP {
 
   def run(spark: SparkSession, edges: DataFrame, source: Long, numPartitions: Int,
-          maxIter: Int = 64): DataFrame = {
+          maxIter: Int = 64,
+          checkpointer: Option[graft.runtime.IterationCheckpointer] = None): DataFrame = {
     import spark.implicits._
-    val e = edges.repartition(numPartitions, col("src")).persist()
+    val e = edges.repartition(numPartitions, col("src"))
+      .sortWithinPartitions("src").persist() // sorted once: SMJ reuses it per round
     e.count()
     var state = Ckpt.materialize(Seq((source, 0.0)).toDF("id", "v"))
     var iter = 0
@@ -43,6 +45,8 @@ object SSSP {
       state.release()
       state = newState
       iter += 1
+      checkpointer.foreach(_.save(state.df.select(col("id"), col("v")), iter,
+        Map("changed" -> nChanged.toLong.toString)))
     }
     e.unpersist()
     state.df.select(col("id"), col("v").as("dist"))

@@ -53,6 +53,11 @@ object Adjacency {
       .agg(first(col("deg")).as("deg"), sort_array(collect_list(col("dst"))).as("dsts"))
       .select(col("src"), col("deg"), col("dsts"))
       .repartition(numPartitions, col("src"))
+      // sort ONCE at build: the cached relation advertises this ordering, so
+      // every per-iteration sort-merge join against the score vector reuses
+      // it instead of re-sorting the (huge) adjacency side each round — only
+      // the small score side gets sorted per iteration
+      .sortWithinPartitions("src")
       .persist(storage)
     val numEdges = rows.agg(coalesce(sum(size(col("dsts"))), lit(0L))).collect()(0).getLong(0)
     Adjacency(rows, numVertices, numEdges, numPartitions)
