@@ -36,7 +36,8 @@ object ConnectedComponents {
     edges.count()
 
     var fState = Ckpt.materialize(
-      spark.range(n).select(col("id"), col("id").as("v")))
+      spark.range(n).repartition(numPartitions, col("id"))
+        .select(col("id"), col("id").as("v")))
     var gpState = fState      // f is the identity map, so gp = f(f) = f
     var iter = 0
     var changed = true

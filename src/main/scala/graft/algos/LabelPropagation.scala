@@ -35,7 +35,8 @@ object LabelPropagation {
       .sortWithinPartitions("dst").persist() // sorted once: SMJ reuses it per round
     edges.count()
     var state = Ckpt.materialize(
-      spark.range(n).select(col("id"), col("id").as("lbl")))
+      spark.range(n).repartition(numPartitions, col("id"))
+        .select(col("id"), col("id").as("lbl")))
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {

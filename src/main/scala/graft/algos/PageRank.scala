@@ -48,7 +48,10 @@ object PageRank {
     val (startIter, startScores) = checkpointer.flatMap(_.latest(spark)) match {
       case Some((it, df)) => (it, df.repartition(p, col("id")))
       case None =>
-        (0, spark.range(n).select(col("id"), lit(1.0 / n).as("v")))
+        // hash-partitioned like every later state: the rewrap preserves it,
+        // so even iteration 1 joins the adjacency with zero score shuffle
+        (0, spark.range(n).repartition(p, col("id"))
+          .select(col("id"), lit(1.0 / n).as("v")))
     }
 
     var state = Ckpt.materialize(startScores)
