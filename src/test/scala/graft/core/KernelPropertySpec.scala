@@ -55,4 +55,39 @@ object KernelPropertySpec extends Properties("Kernels") {
         Seq("src", "dst")), GrbShape(6, 6)))
     inside.keySet.intersect(outside.keySet).isEmpty && (inside ++ outside) == a
   }
+
+  property("assign(no accum) replaces the region; accum=plus merges it") =
+    forAll(genCoo, genCoo) { (a, b0) =>
+      // map b into the region rows {0,2,4} × cols {1,3,5}
+      val rowT = Map(0L -> 0L, 1L -> 2L, 2L -> 4L)
+      val colT = Map(0L -> 1L, 1L -> 3L, 2L -> 5L)
+      val b = b0.collect { case ((i, j), v) if i < 3 && j < 3 => (i, j) -> v }
+      import spark.implicits._
+      val rm = rowT.toSeq.toDF("idx", "target")
+      val cm = colT.toSeq.toDF("idx", "target")
+      val bm = GrbMatrix.fromCoo(spark,
+        b.toSeq.map { case ((i, j), v) => (i, j, v) }, GrbShape(3, 3))
+      val mapped = b.map { case ((i, j), v) => (rowT(i), colT(j)) -> v }
+      val region = for (r <- rowT.values; c <- colT.values) yield (r, c)
+      val wantReplace = a.view.filterKeys(!region.toSet.contains(_)).toMap ++ mapped
+      val wantAccum = a ++ mapped.map { case (k, v) => k -> (a.getOrElse(k, 0.0) + v) }
+      collect(toM(a).assign(rm, cm, bm)) == wantReplace &&
+        collect(toM(a).assign(rm, cm, bm, accum = Some(Ops.plus))) == wantAccum
+    }
+
+  property("extract-of-assign returns the assigned block") =
+    forAll(genCoo) { b0 =>
+      import spark.implicits._
+      val b = b0.collect { case ((i, j), v) if i < 3 && j < 3 => (i, j) -> v }
+      val rm = Seq((0L, 0L), (1L, 2L), (2L, 4L)).toDF("idx", "target")
+      val cm = Seq((0L, 1L), (1L, 3L), (2L, 5L)).toDF("idx", "target")
+      val bm = GrbMatrix.fromCoo(spark,
+        b.toSeq.map { case ((i, j), v) => (i, j, v) }, GrbShape(3, 3))
+      val empty = GrbMatrix.fromCoo(spark, Seq.empty, GrbShape(6, 6))
+      val assigned = empty.assign(rm, cm, bm)
+      // extract with the inverse maps (old → new) recovers b exactly
+      val rInv = Seq((0L, 0L), (2L, 1L), (4L, 2L)).toDF("old", "new")
+      val cInv = Seq((1L, 0L), (3L, 1L), (5L, 2L)).toDF("old", "new")
+      collect(assigned.extract(rInv, cInv, GrbShape(3, 3), smallMaps = true)) == b
+    }
 }
