@@ -198,6 +198,13 @@ final case class GrbVector(df: DataFrame, size: Long) {
     if (r.isNullAt(0)) None else Some(r.get(0))
   }
 
+  /** reduce with `allow_empty=False` (`vector.py:1652`): an empty vector
+    * folds to the monoid identity instead of missing. */
+  def reduceOrIdentity(m: Monoid): Any = {
+    val r = df.agg(coalesce(m.agg(col(V)), m.identity).as("r")).collect()(0)
+    r.get(0)
+  }
+
   /** vxm: w(j) = ⊕_i v(i) ⊗ A(i,j)  (`vector.py:1309`) */
   def vxm(a: GrbMatrix, s: Semiring): GrbVector = {
     val left = df.select(col(ID).as("_i"), col(V).as("_vv"))

@@ -67,6 +67,34 @@ object Formats {
     m.df.orderBy("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
 
+  /** Vector.from_dense (`vector.py:849`): local array with optional missing
+    * sentinel → sparse vector. Driver-side (test fixtures only). */
+  def fromDenseVector(spark: SparkSession, values: Seq[Double],
+                      missing: Option[Double] = None): GrbVector = {
+    val pairs = values.zipWithIndex.collect {
+      case (v, i) if !missing.contains(v) => (i.toLong, v)
+    }
+    GrbVector.fromPairs(spark, pairs, values.size.toLong)
+  }
+
+  /** Vector.to_dense (`vector.py` dense export) with fill for missing. */
+  def toDenseVector(v: GrbVector, fill: Double = 0.0): Array[Double] = {
+    val out = Array.fill(v.size.toInt)(fill)
+    v.df.collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
+    out
+  }
+
+  /** Vector.from_dict (`vector.py:2051`). */
+  def fromDictVector(spark: SparkSession, d: Map[Long, Double], size: Long): GrbVector =
+    GrbVector.fromPairs(spark, d.toSeq, size)
+
+  /** Matrix.to_dicts (`matrix.py:1801`): {row → {col → val}} export. */
+  def toDicts(m: GrbMatrix): Map[Long, Map[Long, Double]] =
+    m.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (i, xs) => i -> xs.map(x => x._2 -> x._3).toMap }
+
   /** Matrix Market coordinate-format reader (`io/_matrixmarket.py:8`) —
     * plain-text parse for small parity fixtures; general/symmetric,
     * real/integer/pattern fields. 1-based indices → 0-based. */

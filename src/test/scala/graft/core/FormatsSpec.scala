@@ -36,10 +36,25 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(back.isequal(matA))
   }
 
-  test("from_dicts / to_coo") {
-    val m = Formats.fromDicts(spark,
-      Map(0L -> Map(1L -> 2.0), 2L -> Map(0L -> 5.0)), GrbShape(3, 3))
+  test("from_dicts / to_dicts / to_coo") {
+    val d = Map(0L -> Map(1L -> 2.0), 2L -> Map(0L -> 5.0))
+    val m = Formats.fromDicts(spark, d, GrbShape(3, 3))
     assert(Formats.toCoo(m) == Seq((0L, 1L, 2.0), (2L, 0L, 5.0)))
+    assert(Formats.toDicts(m) == d)
+  }
+
+  test("vector from_dense/to_dense/from_dict round trips; reduce allow_empty") {
+    val v = Formats.fromDenseVector(spark, Seq(1.0, -9.0, 3.0, -9.0), missing = Some(-9.0))
+    assert(v.nvals == 2 && v.size == 4)
+    assert(Formats.toDenseVector(v, fill = -9.0).toSeq == Seq(1.0, -9.0, 3.0, -9.0))
+    val v2 = Formats.fromDictVector(spark, Map(0L -> 1.0, 2L -> 3.0), 4)
+    import Extras._
+    assert(v.isequal(v2))
+    // allow_empty=False: empty vector folds to the monoid identity
+    val empty = Formats.fromDictVector(spark, Map.empty, 4)
+    assert(empty.reduce(Ops.plusMonoid).isEmpty)
+    assert(empty.reduceOrIdentity(Ops.plusMonoid) == 0.0)
+    assert(empty.reduceOrIdentity(Ops.minMonoid) == Double.PositiveInfinity)
   }
 
   test("MatrixMarket round trip, incl. symmetric + pattern parse") {
