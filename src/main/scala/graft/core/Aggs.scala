@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed Aggregators for monoid folds with no exact Spark builtin
+  * (SURVEY.md §4.2 item 5). Each is exposed as a Column combinator so the
+  * operator catalog stays a uniform `Column => Column` surface; these are the
+  * only non-codegen aggregates in the engine and none sit on an iterative
+  * hot path.
+  */
+object Aggs {
+
+  /** Exact product fold (reference `times` monoid, `operator/monoid.py`):
+    * plain FP multiplication in the aggregation buffer — bit-exact per IEEE
+    * rounding, unlike the `exp(sum(log(abs)))` recipe whose last-bits drift
+    * accumulates with group size. */
+  private object ProductAgg extends Aggregator[Double, Double, Double] {
+    def zero: Double = 1.0
+    def reduce(b: Double, a: Double): Double = b * a
+    def merge(b1: Double, b2: Double): Double = b1 * b2
+    def finish(r: Double): Double = r
+    def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private lazy val productUdaf = udaf(ProductAgg, Encoders.scalaDouble)
+
+  /** product over a group; missing (null) on empty input — the Aggregator's
+    * zero would otherwise surface as 1.0 and break the reduce-of-empty =
+    * empty-scalar contract. */
+  def product(c: Column): Column =
+    when(count(c) > 0, productUdaf(c.cast("double")))
+
+  /** streaming log-sum-exp buffer: running max `m` and the shifted sum
+    * `s = Σ exp(x - m)`, so nothing ever overflows (numpy's logaddexp
+    * recipe, which the reference aggregator inherits — `agg.py:382-404`). */
+  final case class LseBuf(m: Double, s: Double)
+
+  private object LogSumExpAgg extends Aggregator[Double, LseBuf, Double] {
+    def zero: LseBuf = LseBuf(Double.NegativeInfinity, 0.0)
+    def reduce(b: LseBuf, x: Double): LseBuf =
+      if (b.s == 0.0) LseBuf(x, 1.0)
+      else if (x <= b.m) LseBuf(b.m, b.s + math.exp(x - b.m))
+      else LseBuf(x, b.s * math.exp(b.m - x) + 1.0)
+    def merge(a: LseBuf, b: LseBuf): LseBuf =
+      if (a.s == 0.0) b
+      else if (b.s == 0.0) a
+      else if (a.m >= b.m) LseBuf(a.m, a.s + b.s * math.exp(b.m - a.m))
+      else LseBuf(b.m, b.s + a.s * math.exp(a.m - b.m))
+    def finish(r: LseBuf): Double = r.m + math.log(r.s)
+    def bufferEncoder: Encoder[LseBuf] = Encoders.product[LseBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private lazy val lseUdaf = udaf(LogSumExpAgg, Encoders.scalaDouble)
+
+  /** log(Σ exp(x)) — overflow-safe for inputs ≳710 where the naive
+    * `log(sum(exp))` saturates to +inf. */
+  def logSumExp(c: Column): Column =
+    when(count(c) > 0, lseUdaf(c.cast("double")))
+
+  private val ln2 = math.log(2.0)
+
+  /** log2(Σ 2^x) = logSumExp(x·ln2) / ln2. */
+  def logSumExp2(c: Column): Column =
+    when(count(c) > 0, lseUdaf(c.cast("double") * ln2) / ln2)
+}

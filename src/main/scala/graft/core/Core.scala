@@ -205,11 +205,16 @@ final case class GrbVector(df: DataFrame, size: Long) {
     r.get(0)
   }
 
-  /** vxm: w(j) = ⊕_i v(i) ⊗ A(i,j)  (`vector.py:1309`) */
-  def vxm(a: GrbMatrix, s: Semiring): GrbVector = {
+  /** vxm: w(j) = ⊕_i v(i) ⊗ A(i,j)  (`vector.py:1309`). Optional output
+    * mask below the agg and positional ⊗ as in GrbMatrix.mxv. */
+  def vxm(a: GrbMatrix, s: Semiring, mask: Option[GrbMask] = None): GrbVector = {
     val left = df.select(col(ID).as("_i"), col(V).as("_vv"))
-    val prod = left.join(a.df, col("_i") === a.df(SRC))
-      .select(col(DST).as(ID), s.mult(col("_vv"), col(V)).as("_m"))
+    val multCol = Ops.positionalMult.get(s.mult.name)
+      .map(f => f(col("_i"), lit(0L), col("_i"), col(DST)))
+      .getOrElse(s.mult(col("_vv"), col(V)))
+    var prod = left.join(a.df, col("_i") === a.df(SRC))
+      .select(col(DST).as(ID), multCol.as("_m"))
+    mask.foreach { m => prod = Kernels.maskFilter(prod, m, Seq(ID)) }
     GrbVector(prod.groupBy(ID).agg(s.add.agg(col("_m")).as(V)), a.shape.ncols)
   }
 
@@ -253,7 +258,7 @@ final case class GrbVector(df: DataFrame, size: Long) {
     * replaced, with accum it's merged. */
   def assign(indexMap: DataFrame, u: GrbVector,
              mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
-             replace: Boolean = false, smallMap: Boolean = true): GrbVector = {
+             replace: Boolean = false, smallMap: Boolean = false): GrbVector = {
     val m = Kernels.sized(indexMap.select(col("idx").as("_i"), col("target").as("_t")), smallMap)
     val mapped = u.df.join(m, col(ID) === col("_i")).select(col("_t").as(ID), col(V))
     assignMapped(mapped, m.select(col("_t")), mask, accum, replace)
@@ -263,7 +268,7 @@ final case class GrbVector(df: DataFrame, size: Long) {
     * (`GrB_Vector_assign_Scalar`). */
   def assignScalar(targets: DataFrame, s: Column,
                    mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
-                   replace: Boolean = false, smallMap: Boolean = true): GrbVector = {
+                   replace: Boolean = false, smallMap: Boolean = false): GrbVector = {
     val t = Kernels.sized(targets.select(col("target").as("_t")), smallMap)
     assignMapped(t.select(col("_t").as(ID), s.as(V)), t, mask, accum, replace)
   }
@@ -374,11 +379,20 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     * THE gather kernel. Vector side broadcast when small enough is left to
     * AQE/Catalyst; algorithm drivers use the pre-bucketed adjacency layout
     * (graft.graph.Adjacency) instead of this generic form.
+    * Optional `mask` (output keys) is pushed BELOW the aggregation exactly
+    * like mxm's — the descriptor fusion of `GrB_mxv`
+    * (`fundamentals.rst:56-63`); Catalyst will not invent this placement.
+    * Positional ⊗ (firsti/secondi/…) resolves to the join's index columns
+    * (`Ops.positionalMult`) — zero runtime cost, the index is the key.
     */
-  def mxv(v: GrbVector, s: Semiring): GrbVector = {
+  def mxv(v: GrbVector, s: Semiring, mask: Option[GrbMask] = None): GrbVector = {
     val right = v.df.select(col(ID).as("_j"), col(V).as("_vv"))
-    val prod = df.join(right, col(DST) === col("_j"))
-      .select(col(SRC).as(ID), s.mult(col(V), col("_vv")).as("_m"))
+    val multCol = Ops.positionalMult.get(s.mult.name)
+      .map(f => f(col(SRC), col("_j"), col("_j"), lit(0L)))
+      .getOrElse(s.mult(col(V), col("_vv")))
+    var prod = df.join(right, col(DST) === col("_j"))
+      .select(col(SRC).as(ID), multCol.as("_m"))
+    mask.foreach { m => prod = Kernels.maskFilter(prod, m, Seq(ID)) }
     GrbVector(prod.groupBy(ID).agg(s.add.agg(col("_m")).as(V)), shape.nrows)
   }
 
@@ -390,8 +404,11 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
   def mxm(other: GrbMatrix, s: Semiring, mask: Option[GrbMask] = None): GrbMatrix = {
     val l = df.select(col(SRC).as("_i"), col(DST).as("_k"), col(V).as("_va"))
     val r = other.df.select(col(SRC).as("_k2"), col(DST).as("_j"), col(V).as("_vb"))
+    val multCol = Ops.positionalMult.get(s.mult.name)
+      .map(f => f(col("_i"), col("_k"), col("_k"), col("_j")))
+      .getOrElse(s.mult(col("_va"), col("_vb")))
     var prod = l.join(r, col("_k") === col("_k2"))
-      .select(col("_i").as(SRC), col("_j").as(DST), s.mult(col("_va"), col("_vb")).as("_m"))
+      .select(col("_i").as(SRC), col("_j").as(DST), multCol.as("_m"))
     mask.foreach { m => prod = Kernels.maskFilter(prod, m, Seq(SRC, DST)) }
     GrbMatrix(prod.groupBy(SRC, DST).agg(s.add.agg(col("_m")).as(V)),
       GrbShape(shape.nrows, other.shape.ncols))
@@ -404,13 +421,18 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
 
   /** extract submatrix with dense index remap (SURVEY.md §2.7): `rowMap` /
     * `colMap` are (old→new) DataFrames. Shuffle joins by default (the remap
-    * may be vertex-universe-sized); `smallMaps = true` broadcasts both. */
+    * may be vertex-universe-sized); `smallMaps = true` broadcasts both.
+    * `inputMask` (reference `base.py:356-362`): mask applied to the INPUT of
+    * the extract — a pre-filter semi-join before the remap, mirroring the
+    * vector form (GrbVector.extract). */
   def extract(rowMap: DataFrame, colMap: DataFrame, newShape: GrbShape,
-              smallMaps: Boolean = false): GrbMatrix = {
+              smallMaps: Boolean = false,
+              inputMask: Option[GrbMask] = None): GrbMatrix = {
+    val in = inputMask.fold(df)(m => Kernels.maskFilter(df, m, Seq(SRC, DST)))
     val rm = Kernels.sized(rowMap.select(col("old").as("_ro"), col("new").as("_rn")), smallMaps)
     val cm = Kernels.sized(colMap.select(col("old").as("_co"), col("new").as("_cn")), smallMaps)
     GrbMatrix(
-      df.join(rm, col(SRC) === col("_ro"))
+      in.join(rm, col(SRC) === col("_ro"))
         .join(cm, col(DST) === col("_co"))
         .select(col("_rn").as(SRC), col("_cn").as(DST), col(V)),
       newShape)
@@ -425,11 +447,13 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     * and region-only C values persist (= ewise_add on the region). Mask keys
     * are in C's coordinates and scope the region (GxB_subassign shape);
     * replace clears unwritten region cells inside the mask scope.
-    * Position lists are usually small selections → broadcast by default;
-    * pass smallMaps=false for vertex-universe-scale maps. */
+    * Join strategy matches extract/maskFilter: shuffle joins by default
+    * (position lists CAN be vertex-universe-scale, and a forced broadcast
+    * of one OOMs the driver); `smallMaps = true` is the caller-asserted
+    * known-small hint, same contract as GrbMask.markSmall. */
   def assign(rowMap: DataFrame, colMap: DataFrame, a: GrbMatrix,
              mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
-             replace: Boolean = false, smallMaps: Boolean = true): GrbMatrix = {
+             replace: Boolean = false, smallMaps: Boolean = false): GrbMatrix = {
     val rm = Kernels.sized(rowMap.select(col("idx").as("_ri"), col("target").as("_rt")), smallMaps)
     val cm = Kernels.sized(colMap.select(col("idx").as("_ci"), col("target").as("_ct")), smallMaps)
     val mapped = a.df.join(rm, col(SRC) === col("_ri"))
@@ -442,7 +466,7 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     * (`matrix.py:3249` GrB_Matrix_assign_Scalar): every region cell gets s. */
   def assignScalar(rowTargets: DataFrame, colTargets: DataFrame, s: Column,
                    mask: Option[GrbMask] = None, accum: Option[BinaryOp] = None,
-                   replace: Boolean = false, smallMaps: Boolean = true): GrbMatrix = {
+                   replace: Boolean = false, smallMaps: Boolean = false): GrbMatrix = {
     val rm = Kernels.sized(rowTargets.select(col("target").as("_rt")), smallMaps)
     val cm = Kernels.sized(colTargets.select(col("target").as("_ct")), smallMaps)
     val mapped = rm.crossJoin(cm)
@@ -487,10 +511,12 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     copy(df = df.select(col(SRC), col(DST), f(col(V), col(SRC), col(DST)).as(V)))
 
   /** element access A[i,j] (`matrix.py:3022`) — driver convenience, parity
-    * tests only (anti-pattern at scale, SURVEY.md §2.2). */
-  def get(i: Long, j: Long): Option[Double] =
+    * tests only (anti-pattern at scale, SURVEY.md §2.2). Dtype-agnostic:
+    * returns whatever the value column holds (Double, Long, Row for record
+    * dtypes, …). */
+  def get(i: Long, j: Long): Option[Any] =
     df.filter(col(SRC) === i && col(DST) === j).collect()
-      .headOption.map(_.getDouble(2))
+      .headOption.map(_.get(2))
 
   /** A[i,j] = s (`matrix.py:3088`): upsert one element. */
   def set(i: Long, j: Long, s: Double): GrbMatrix = {

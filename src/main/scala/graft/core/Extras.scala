@@ -28,8 +28,11 @@ object Extras {
     // (`agg.py:359-380`), matching the None-on-empty convention of aggregate()
     "exists" -> (c => when(count(c) > 0, lit(1))),
     "hypot" -> (c => sqrt(sum(c * c))),
-    "logaddexp" -> (c => log(sum(exp(c)))),
-    "logaddexp2" -> (c => log2(sum(pow(lit(2.0), c)))),
+    // max-shifted streaming logsumexp (Aggs) — the naive log(sum(exp))
+    // saturates to +inf for any input ≳710 (the reference inherits numpy's
+    // stable recipe, `agg.py:382-404`)
+    "logaddexp" -> Aggs.logSumExp,
+    "logaddexp2" -> Aggs.logSumExp2,
     "L0norm" -> (c => count(when(c =!= 0, 1)).cast("double")),
     "L1norm" -> (c => sum(abs(c))),
     "L2norm" -> (c => sqrt(sum(c * c))),
@@ -114,6 +117,20 @@ object Extras {
         .filter(col("_rn") <= k).drop("_rn"), m.shape)
     }
 
+    /** ss.sort (`core/ss/matrix.py:3983` GxB_Matrix_sort): per-row sort of
+      * stored values, returning BOTH the sorted-values matrix (dense column
+      * positions 0..k-1 per row) and the PERMUTATION matrix (at each dense
+      * position, the source column index of that element) — the reference's
+      * (values, permutation) pair. Ties break on dst for determinism. */
+    def sortRowwise(asc: Boolean = true): (GrbMatrix, GrbMatrix) = {
+      val ord = if (asc) Seq(col(V).asc, col(DST)) else Seq(col(V).desc, col(DST))
+      val w = Window.partitionBy(SRC).orderBy(ord: _*)
+      val ranked = m.df.withColumn("_p", (row_number().over(w) - 1).cast("long"))
+      (GrbMatrix(ranked.select(col(SRC), col("_p").as(DST), col(V)), m.shape),
+        GrbMatrix(ranked.select(col(SRC), col("_p").as(DST),
+          col(DST).cast("long").as(V)), m.shape))
+    }
+
     /** ss.compactify (`core/ss/matrix.py:3869`): per-row squeeze of column
       * indices to dense 0..k-1 keeping dst order. */
     def compactify(): GrbMatrix = {
@@ -141,6 +158,36 @@ object Extras {
       GrbMatrix(
         m.df.join(diag.select(SRC, DST), Seq(SRC, DST), "left_anti").unionByName(diag),
         m.shape)
+    }
+
+    /** full setdiag(values, k, mask, accum) (`matrix.py:2905`): write a
+      * VECTOR onto the k-th diagonal through the standard write clause —
+      * the off-diagonal region is untouched; on the diagonal, `values[i]`
+      * lands at (i, i+k), merged per accum, scoped by the (diagonal-key)
+      * mask; diagonal cells not covered by `values` are kept (no-accum
+      * writes overwrite only where values is present, matching the
+      * reference's ewise construction of the new diagonal). */
+    def setdiag(values: GrbVector, k: Long, mask: Option[GrbMask],
+                accum: Option[BinaryOp]): GrbMatrix = {
+      val diagNew = values.df
+        .select(col(ID).as(SRC), (col(ID) + k).as(DST), col(V))
+        .filter(col(SRC) >= 0 && col(SRC) < m.shape.nrows &&
+                col(DST) >= 0 && col(DST) < m.shape.ncols)
+      val onDiag  = m.df.filter(col(DST) - col(SRC) === k)
+      val offDiag = m.df.filter(col(DST) - col(SRC) =!= k)
+      val merged = accum match {
+        case Some(_) => Kernels.write(onDiag, diagNew, Seq(SRC, DST), mask, accum)
+        case None =>
+          // no accum: present `values` cells overwrite, absent ones keep C's
+          val overwritten = onDiag
+            .join(diagNew.select(SRC, DST), Seq(SRC, DST), "left_anti")
+            .unionByName(diagNew)
+          mask.fold(overwritten) { mk =>
+            Kernels.maskFilter(overwritten, mk, Seq(SRC, DST))
+              .unionByName(Kernels.maskFilter(onDiag, ~mk, Seq(SRC, DST)))
+          }
+      }
+      GrbMatrix(offDiag.unionByName(merged), m.shape)
     }
 
     /** ss.flatten (`core/ss/matrix.py:3706`): row-major linearization
@@ -227,6 +274,17 @@ object Extras {
     def selectK(k: Int, largest: Boolean = true): GrbVector = {
       val ord = if (largest) Seq(col(V).desc, col(ID)) else Seq(col(V).asc, col(ID))
       v.copy(df = v.df.orderBy(ord: _*).limit(k))
+    }
+
+    /** ss.sort for vectors (`core/ss/vector.py:1559`): sorted values at
+      * dense indices 0..k-1 plus the permutation (original ids). Single
+      * window partition — driver-fixture scale only, like scan. */
+    def sortValues(asc: Boolean = true): (GrbVector, GrbVector) = {
+      val ord = if (asc) Seq(col(V).asc, col(ID)) else Seq(col(V).desc, col(ID))
+      val w = Window.orderBy(ord: _*)
+      val ranked = v.df.withColumn("_p", (row_number().over(w) - 1).cast("long"))
+      (v.copy(df = ranked.select(col("_p").as(ID), col(V))),
+        v.copy(df = ranked.select(col("_p").as(ID), col(ID).cast("long").as(V))))
     }
 
     /** ss.compactify for vectors (`core/ss/vector.py:1453`): squeeze stored

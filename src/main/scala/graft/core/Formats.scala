@@ -49,10 +49,28 @@ object Formats {
     GrbMatrix.fromCoo(spark, triples, GrbShape(rows.size, if (rows.isEmpty) 0 else rows.head.size))
   }
 
-  /** to_dense (`matrix.py:1461`): driver-side export for small fixtures. */
+  /** numeric driver-side coercion — any numeric dtype, not just FP64 (the
+    * r2 getDouble conveniences threw on INT64/FP32 collections). */
+  private[core] def asDouble(v: Any): Double = v match {
+    case d: Double => d
+    case n: Number => n.doubleValue
+    case b: Boolean => if (b) 1.0 else 0.0
+    case other => throw new IllegalArgumentException(
+      s"not a numeric value: $other (${other.getClass}); use the *Rows/Any export for record dtypes")
+  }
+
+  /** to_dense (`matrix.py:1461`): driver-side export for small fixtures;
+    * dtype-generic for numerics (asDouble). */
   def toDense(m: GrbMatrix, fill: Double = 0.0): Array[Array[Double]] = {
     val out = Array.fill(m.shape.nrows.toInt, m.shape.ncols.toInt)(fill)
-    m.df.collect().foreach(r => out(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    m.df.collect().foreach(r => out(r.getLong(0).toInt)(r.getLong(1).toInt) = asDouble(r.get(2)))
+    out
+  }
+
+  /** dtype-agnostic dense export (records/UDTs included): missing = null. */
+  def toDenseAny(m: GrbMatrix): Array[Array[Any]] = {
+    val out = Array.fill[Any](m.shape.nrows.toInt, m.shape.ncols.toInt)(null)
+    m.df.collect().foreach(r => out(r.getLong(0).toInt)(r.getLong(1).toInt) = r.get(2))
     out
   }
 
@@ -62,10 +80,15 @@ object Formats {
     GrbMatrix.fromCoo(spark,
       d.toSeq.flatMap { case (i, m) => m.toSeq.map { case (j, v) => (i, j, v) } }, shape)
 
-  /** to_coo sorted export (`matrix.py:525`). */
+  /** to_coo sorted export (`matrix.py:525`); numeric dtype-generic. */
   def toCoo(m: GrbMatrix): Seq[(Long, Long, Double)] =
     m.df.orderBy("src", "dst").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), asDouble(r.get(2)))).toSeq
+
+  /** dtype-agnostic sorted COO export (records/UDTs included). */
+  def toCooAny(m: GrbMatrix): Seq[(Long, Long, Any)] =
+    m.df.orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
 
   /** Vector.from_dense (`vector.py:849`): local array with optional missing
     * sentinel → sparse vector. Driver-side (test fixtures only). */
@@ -77,10 +100,11 @@ object Formats {
     GrbVector.fromPairs(spark, pairs, values.size.toLong)
   }
 
-  /** Vector.to_dense (`vector.py` dense export) with fill for missing. */
+  /** Vector.to_dense (`vector.py` dense export) with fill for missing;
+    * numeric dtype-generic. */
   def toDenseVector(v: GrbVector, fill: Double = 0.0): Array[Double] = {
     val out = Array.fill(v.size.toInt)(fill)
-    v.df.collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
+    v.df.collect().foreach(r => out(r.getLong(0).toInt) = asDouble(r.get(1)))
     out
   }
 
@@ -88,10 +112,11 @@ object Formats {
   def fromDictVector(spark: SparkSession, d: Map[Long, Double], size: Long): GrbVector =
     GrbVector.fromPairs(spark, d.toSeq, size)
 
-  /** Matrix.to_dicts (`matrix.py:1801`): {row → {col → val}} export. */
+  /** Matrix.to_dicts (`matrix.py:1801`): {row → {col → val}} export;
+    * numeric dtype-generic. */
   def toDicts(m: GrbMatrix): Map[Long, Map[Long, Double]] =
     m.df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), asDouble(r.get(2))))
       .groupBy(_._1)
       .map { case (i, xs) => i -> xs.map(x => x._2 -> x._3).toMap }
 

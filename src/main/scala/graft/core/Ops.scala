@@ -136,13 +136,53 @@ object Ops {
     when(b >= 0, shl(a, b)).otherwise(shr(a, -b)))
   // float pairs
   val atan2Op  = BinaryOp("atan2", atan2(_, _))
-  val hypotOp  = BinaryOp("hypot", (a, b) => sqrt(a * a + b * b))
+  // scaled hypot (the classic overflow-free form): sqrt(a²+b²) saturates at
+  // |a| ≈ 1e154; max·sqrt(1+(min/max)²) is exact to rounding over the full
+  // FP64 range
+  val hypotOp  = BinaryOp("hypot", (a, b) => {
+    val mx = greatest(abs(a), abs(b))
+    val mn = least(abs(a), abs(b))
+    when(mx === 0.0, lit(0.0)).otherwise(mx * sqrt(lit(1.0) + (mn / mx) * (mn / mx)))
+  })
   val ldexpOp  = BinaryOp("ldexp", (a, b) => a * pow(lit(2.0), b))
   val copysign = BinaryOp("copysign",
     (a, b) => when(b < 0, -abs(a)).otherwise(abs(a)))
   val absfirst  = BinaryOp("absfirst", (a, _) => abs(a))
   val abssecond = BinaryOp("abssecond", (_, b) => abs(b))
   val rpow      = BinaryOp("rpow", (a, b) => pow(b, a))
+
+  // ---- positional binaries (reference `operator/base.py:38-47`:
+  //      firsti/firstj/secondi/secondj and the +1 variants; all INT64) ----
+  // The "value" of a positional op is an operand INDEX, not an operand value,
+  // so the (a, b) value lambda is a placeholder: semiring kernels
+  // (mxm/mxv/vxm) resolve the real column through `positionalMult` — in our
+  // join form the index IS a join/output key column, so evaluation is free.
+  private def posBin(name: String) =
+    BinaryOp(name, (_, _) => lit(null).cast("long"))
+  val firsti   = posBin("firsti");  val firsti1  = posBin("firsti1")
+  val firstj   = posBin("firstj");  val firstj1  = posBin("firstj1")
+  val secondi  = posBin("secondi"); val secondi1 = posBin("secondi1")
+  val secondj  = posBin("secondj"); val secondj1 = posBin("secondj1")
+  val positionalBinaries: Seq[BinaryOp] =
+    Seq(firsti, firsti1, firstj, firstj1, secondi, secondi1, secondj, secondj1)
+
+  /** index-column resolution for positional ⊗ inside a semiring product
+    * (reference positional semirings, `operator/semiring.py:185-218`):
+    * firsti/firstj read the row/col index of the FIRST operand's element,
+    * secondi/secondj of the second; `*1` adds 1. Kernels pass the four index
+    * columns of their join — mxm A(i,k)⊗B(k,j) passes (i,k,k,j); mxv
+    * A(i,k)⊗v(k) passes (i,k,k,0) (a GraphBLAS vector is an n×1 column, so
+    * its element (k) sits at row k, col 0); vxm v(k)⊗A(k,j) passes
+    * (k,0,k,j). */
+  val positionalMult: Map[String, (Column, Column, Column, Column) => Column] = Map(
+    "firsti"   -> ((ia, _, _, _) => ia),
+    "firsti1"  -> ((ia, _, _, _) => ia + 1L),
+    "firstj"   -> ((_, ja, _, _) => ja),
+    "firstj1"  -> ((_, ja, _, _) => ja + 1L),
+    "secondi"  -> ((_, _, ib, _) => ib),
+    "secondi1" -> ((_, _, ib, _) => ib + 1L),
+    "secondj"  -> ((_, _, _, jb) => jb),
+    "secondj1" -> ((_, _, _, jb) => jb + 1L))
 
   // ---- monoids (reference `operator/monoid.py:239-255`) ----
   val plusMonoid  = Monoid("plus", plus, lit(0.0), sum)
@@ -151,15 +191,10 @@ object Ops {
   val lorMonoid   = Monoid("lor", lor, lit(false), c => bool_or(c.cast("boolean")))
   val landMonoid  = Monoid("land", land, lit(true), c => bool_and(c.cast("boolean")))
   val minLongMonoid = Monoid("min_long", minBin, lit(Long.MaxValue), min)
-  // `times` monoid: product has no Spark builtin; exact for positive inputs
-  // via exp(sum(log)); sign/zeros handled explicitly.
-  val timesMonoid = Monoid("times", times, lit(1.0), { c =>
-    val anyZero = max(when(c === 0, 1).otherwise(0)) === 1
-    val negCnt  = sum(when(c < 0, 1L).otherwise(0L))
-    val mag     = exp(sum(log(abs(c))))
-    when(anyZero, lit(0.0))
-      .otherwise(when(negCnt % 2 === 0, mag).otherwise(-mag))
-  })
+  // `times` monoid: product has no Spark builtin; exact FP multiplication via
+  // a typed Aggregator (Aggs.product) — the earlier exp(sum(log(abs))) recipe
+  // drifted in the last bits for any zero-free group (SURVEY §4.2 item 5).
+  val timesMonoid = Monoid("times", times, lit(1.0), Aggs.product)
 
   // bitwise monoids (`monoid.py:239-255`): identities are the respective
   // absorbing-free elements (0 for or/xor, all-ones for and/xnor)
@@ -180,9 +215,12 @@ object Ops {
   /** eq monoid = lxnor on BOOL (`monoid.py` eq) */
   val eqMonoid = Monoid("eq", BinaryOp("eq_bool",
     (a, b) => a.cast("boolean") === b.cast("boolean")), lit(true), lxnorMonoid.agg)
-  /** `any` monoid: "pick either" — deterministic as min (documented
-    * divergence, SURVEY.md §7.4; reference allows any element). */
-  val anyMonoid = Monoid("any", anyOp, lit(null), min)
+  /** `any` monoid: "pick either" — deterministic as MIN for both the pairwise
+    * fold and the aggregate, so fold-vs-agg agree (documented divergence,
+    * SURVEY.md §7.4; the reference allows any element, `monoid.py` ANY).
+    * No meaningful identity exists ("any of nothing"); reduceOrIdentity of an
+    * empty collection therefore yields null/missing by contract. */
+  val anyMonoid = Monoid("any", minBin, lit(null).cast("double"), min)
 
   // ---- semirings we must have (SURVEY.md §2.6) ----
   val plusTimes  = Semiring("plus_times", plusMonoid, times)
@@ -205,12 +243,12 @@ object Ops {
     exp2Op, expm1Op, cbrtOp, roundOp, truncOp, isnanOp, isinfOp, isfiniteOp,
     bnot).map(u => u.name -> u).toMap
 
-  val binaries: Map[String, BinaryOp] = Seq(
+  val binaries: Map[String, BinaryOp] = (Seq(
     first, second, pair, anyOp, plus, minus, rminus, times, truediv, rdiv,
     minBin, maxBin, powOp, eq, ne, gt, lt, ge, le, lor, land, lxor, lxnor,
     cdiv, floordiv, fmod, remainder, bor, band, bxor, bxnor, bget, bset,
     bclr, bshift, atan2Op, hypotOp, ldexpOp, copysign, absfirst, abssecond,
-    rpow).map(b => b.name -> b).toMap
+    rpow) ++ positionalBinaries).map(b => b.name -> b).toMap
 
   val monoids: Map[String, Monoid] = Seq(
     plusMonoid, minMonoid, maxMonoid, lorMonoid, landMonoid, timesMonoid,

@@ -38,13 +38,41 @@ object Types {
   val all: Seq[GrbType] =
     Seq(BOOL, INT8, UINT8, INT16, UINT16, INT32, UINT32, INT64, UINT64, FP32, FP64)
 
-  private val byName = all.map(t => t.name -> t).toMap
+  private val byName = scala.collection.concurrent.TrieMap[String, GrbType](
+    all.map(t => t.name -> t): _*)
   def lookup(name: String): GrbType = byName(name)
+
+  /** UDT / record dtypes (reference `dtypes.py:165` register_new, `:195`
+    * register_anonymous; `docs/user_guide/udt.rst`): an arbitrary record of
+    * scalar or nested-record fields (array fields via `arrayOf`) becomes a
+    * Spark StructType value column. Records take rank -1: they never
+    * participate in the numeric promotion lattice — `unify` of a record with
+    * anything but ITSELF is an error, like the reference's UDTs (no
+    * auto-coercion between record dtypes). */
+  def registerRecord(name: String, fields: Seq[(String, DataType)]): GrbType = {
+    require(!byName.contains(name), s"dtype $name already registered")
+    val t = GrbType(name, StructType(fields.map { case (f, dt) =>
+      StructField(f, dt, nullable = false) }), rank = -1, isFloat = false)
+    byName.put(name, t)
+    t
+  }
+
+  /** anonymous record (register_anonymous): not added to the registry. */
+  def recordOf(fields: (String, DataType)*): GrbType =
+    GrbType("record", StructType(fields.map { case (f, dt) =>
+      StructField(f, dt, nullable = false) }), rank = -1, isFloat = false)
+
+  def arrayOf(dt: DataType): DataType = ArrayType(dt, containsNull = false)
 
   /** dtype unification (`dtypes.py:552` → numpy promote_types): the wider
     * type wins; a ≥32-bit integer meeting FP32 promotes to FP64 (an FP32
-    * mantissa cannot hold 32-bit integers exactly). */
+    * mantissa cannot hold 32-bit integers exactly). Record dtypes only unify
+    * with themselves. */
   def unify(a: GrbType, b: GrbType): GrbType = {
+    if (a.rank < 0 || b.rank < 0) {
+      require(a.spark == b.spark, s"record dtypes do not coerce: $a vs $b")
+      return a
+    }
     val (lo, hi) = if (a.rank <= b.rank) (a, b) else (b, a)
     if (hi == FP32 && !lo.isFloat && lo.rank >= INT32.rank) FP64 else hi
   }

@@ -37,21 +37,29 @@ final case class Adjacency(rows: DataFrame, numVertices: Long, numEdges: Long,
 
 object Adjacency {
 
-  /** Build from a deduplicated (src, dst) edge table. `numVertices` is the
-    * logical vertex-universe size (ids 0..n-1). */
-  def build(edges: DataFrame, numVertices: Long, numPartitions: Int,
-            maxChunk: Int = 4096,
-            storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Adjacency = {
+  /** Packing stage only (no partitioning/persist): edge table → chunked
+    * neighbor-array rows. Separated from `build` so a bench/pipeline can
+    * materialize the packed layout to parquet ONCE and re-load it per
+    * session (`fromPacked`) instead of re-running the two edge-scale build
+    * shuffles — the Iceberg-style "write the layout, not the raw edges"
+    * pattern for repeated runs over one graph. */
+  def pack(edges: DataFrame, maxChunk: Int = 4096): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // Join edges with degree (both sides hash-partitioned on src), derive a
     // deterministic chunk id, then pack per (src, chunk).
     val nChunks = ceil(col("deg") / maxChunk).cast("long")
-    val rows = edges
+    edges
       .join(deg, "src")
       .withColumn("_chunk", pmod(col("dst"), nChunks))
       .groupBy(col("src"), col("_chunk"))
       .agg(first(col("deg")).as("deg"), sort_array(collect_list(col("dst"))).as("dsts"))
       .select(col("src"), col("deg"), col("dsts"))
+  }
+
+  /** Partition + sort + persist packed rows into the iteration-ready layout. */
+  def fromPacked(packed: DataFrame, numVertices: Long, numPartitions: Int,
+                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Adjacency = {
+    val rows = packed
       .repartition(numPartitions, col("src"))
       // sort ONCE at build: the cached relation advertises this ordering, so
       // every per-iteration sort-merge join against the score vector reuses
@@ -62,4 +70,11 @@ object Adjacency {
     val numEdges = rows.agg(coalesce(sum(size(col("dsts"))), lit(0L))).collect()(0).getLong(0)
     Adjacency(rows, numVertices, numEdges, numPartitions)
   }
+
+  /** Build from a deduplicated (src, dst) edge table. `numVertices` is the
+    * logical vertex-universe size (ids 0..n-1). */
+  def build(edges: DataFrame, numVertices: Long, numPartitions: Int,
+            maxChunk: Int = 4096,
+            storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Adjacency =
+    fromPacked(pack(edges, maxChunk), numVertices, numPartitions, storage)
 }

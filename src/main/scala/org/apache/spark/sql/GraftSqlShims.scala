@@ -31,6 +31,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraftSqlShims {
 
+  /** Test hook (package-private bridge): is Spark's CacheManager empty?
+    * Used to assert the pipeline operators' unpersist discipline. */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Rewrite physical output attrs to the analyzed output (positional, the
     * same correspondence fromDataset uses); drop anything that references
     * non-output attrs. */
@@ -64,7 +69,17 @@ object GraftSqlShims {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val cdf = df.asInstanceOf[classic.DataFrame]
     // optional fused aggregation: sum a double column DURING materialization
-    // (saves iterative algorithms one full job + driver round-trip per round)
+    // (saves iterative algorithms one full job + driver round-trip per round).
+    // The accumulator updates inside a transformation, and Spark only
+    // guarantees exactly-once accumulation for updates in ACTIONS — a
+    // cluster-side task retry or speculative duplicate can OVER-count. That
+    // is safe for every consumer in this engine: the sum is a convergence
+    // metric compared against `> tol` / `> 0`, updates are non-negative
+    // (|diffs|), and the RDD is persisted by this very pass so the plan is
+    // computed exactly once per partition in the common case — over-counting
+    // can only delay convergence by an extra iteration, never terminate it
+    // early or corrupt a result. Consumers needing an exact sum must rerun
+    // an agg over the returned (materialized) DataFrame instead.
     val sumAcc = spark.sparkContext.doubleAccumulator("ckptSum")
     val rdd = sumColumn match {
       case Some(name) =>

@@ -57,6 +57,54 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(empty.reduceOrIdentity(Ops.minMonoid) == Double.PositiveInfinity)
   }
 
+  test("ss.sort returns (values, permutation) (core/ss/matrix.py:3983)") {
+    // row 6 of A: dsts (2,3,4) values (5,7,3) → sorted asc (3,5,7),
+    // permutation (4,2,3)
+    val (vals, perm) = matA.sortRowwise(asc = true)
+    val row6v = vals.df.filter(col("src") === 6).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val row6p = perm.df.filter(col("src") === 6).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(row6v == Map(0L -> 3.0, 1L -> 5.0, 2L -> 7.0))
+    assert(row6p == Map(0L -> 4L, 1L -> 2L, 2L -> 3L))
+    // vector form
+    val v = Formats.fromDictVector(spark, Map(0L -> 5.0, 3L -> 1.0, 9L -> 3.0), 10)
+    val (sv, sp) = v.sortValues(asc = true)
+    assert(Formats.toDenseVector(sv, fill = -1.0).take(3).toSeq == Seq(1.0, 3.0, 5.0))
+    assert(sp.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 3L, 1L -> 9L, 2L -> 0L))
+  }
+
+  test("record dtype (UDT): registration, CSR round trip, generic exports") {
+    import org.apache.spark.sql.types.{LongType, DoubleType, StructType}
+    import spark.implicits._
+    // registration path (reference dtypes.py:165 register_new)
+    val rec = Types.registerRecord("PointTest",
+      Seq("x" -> LongType, "y" -> DoubleType))
+    assert(Types.lookup("PointTest").spark.isInstanceOf[StructType])
+    assert(Types.unify(rec, rec) == rec)
+    intercept[IllegalArgumentException](Types.unify(rec, Types.FP64))
+    // a struct-valued matrix flows through the (schema-agnostic) format
+    // kernels unchanged
+    val m = GrbMatrix(Seq((0L, 1L, 2L, 0.5), (1L, 0L, 3L, 1.5))
+      .toDF("src", "dst", "x", "y")
+      .select(col("src"), col("dst"), struct(col("x"), col("y")).as("v")),
+      GrbShape(2, 2))
+    val back = GrbMatrix(
+      Formats.fromCsrBuckets(Formats.toCsrBuckets(m.df)), m.shape)
+    assert(back.isequal(m))
+    // de-Doubled driver conveniences: Any-typed exports + element get
+    val cooAny = Formats.toCooAny(m)
+    assert(cooAny.map { case (i, j, _) => (i, j) } == Seq((0L, 1L), (1L, 0L)))
+    assert(cooAny.head._3.asInstanceOf[org.apache.spark.sql.Row].getLong(0) == 2L)
+    val dense = Formats.toDenseAny(m)
+    assert(dense(0)(1) != null && dense(0)(0) == null)
+    assert(m.get(1, 0).exists(_.isInstanceOf[org.apache.spark.sql.Row]))
+    // numeric conveniences now accept any numeric dtype, not only FP64
+    val intM = GrbMatrix(Seq((0L, 0L, 7L)).toDF("src", "dst", "v"), GrbShape(1, 1))
+    assert(Formats.toDense(intM)(0)(0) == 7.0)
+  }
+
   test("MatrixMarket round trip, incl. symmetric + pattern parse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm")
     val p = s"$dir/a.mtx"

@@ -65,6 +65,41 @@ class KernelSpec extends AnyFunSuite with SparkTest {
     assert(masked == unmasked.filter { case (k, _) => aMap.contains(k) })
   }
 
+  test("masked mxv == unmasked then filtered (mask below the agg)") {
+    val mask = GrbMask(Seq(0L, 3L, 6L).toDF("id"))
+    val masked = collectV(matA.mxv(vecV, Ops.plusTimes, Some(mask)))
+    val unmasked = collectV(matA.mxv(vecV, Ops.plusTimes))
+    assert(masked == unmasked.filter { case (k, _) => Set(0L, 3L, 6L)(k) })
+    val comp = collectV(matA.mxv(vecV, Ops.plusTimes, Some(~mask)))
+    assert(comp == unmasked.filter { case (k, _) => !Set(0L, 3L, 6L)(k) })
+  }
+
+  test("matrix extract with input_mask pre-filters the INPUT (base.py:356)") {
+    val rowMap = (0L until 7).map(i => (i, i)).toDF("old", "new")
+    val inMask = GrbMask(Seq((0L, 1L), (3L, 0L), (1L, 4L)).toDF("src", "dst"))
+    val got = collectM(matA.extract(rowMap, rowMap, GrbShape(7, 7),
+      inputMask = Some(inMask)))
+    assert(got == aMap.filter { case (k, _) => Set((0L, 1L), (3L, 0L), (1L, 4L))(k) })
+  }
+
+  test("full setdiag(values, k, mask, accum) (matrix.py:2905)") {
+    import Extras._
+    // A has (0,1)=2 on diagonal k=1; write u = {0→10, 2→20} onto k=1
+    val u = GrbVector.fromPairs(spark, Seq((0L, 10.0), (2L, 20.0)), 7)
+    // no accum: present values overwrite, absent diagonal cells kept
+    val plain = collectM(matA.setdiag(u, 1L, None, None))
+    assert(plain((0L, 1L)) == 10.0 && plain((2L, 3L)) == 20.0)
+    assert(plain.filterNot(k => Set((0L, 1L), (2L, 3L))(k._1)) ==
+      aMap.filterNot(k => Set((0L, 1L), (2L, 3L))(k._1)))
+    // accum=plus: overlap combines ((0,1): 2+10), new inserts
+    val acc = collectM(matA.setdiag(u, 1L, None, Some(Ops.plus)))
+    assert(acc((0L, 1L)) == 12.0 && acc((2L, 3L)) == 20.0)
+    // mask scopes the diagonal writes: only (0,1) writable
+    val mask = GrbMask(Seq((0L, 1L)).toDF("src", "dst"))
+    val msk = collectM(matA.setdiag(u, 1L, Some(mask), None))
+    assert(msk((0L, 1L)) == 10.0 && !msk.contains((2L, 3L)))
+  }
+
   test("transpose is index swap (matrix.py:3825)") {
     assert(collectM(matA.transpose) == aMap.map { case ((i, j), v) => (j, i) -> v })
   }

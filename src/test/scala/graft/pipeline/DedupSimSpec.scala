@@ -58,6 +58,20 @@ class DedupSimSpec extends AnyFunSuite with SparkTest {
     pairs.unpersist()
   }
 
+  test("pipeline operators leave no cached relations behind (unpersist)") {
+    import org.apache.spark.sql.GraftSqlShims
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(docsPath)
+    // each of these persisted intermediates in round 2 and never released
+    // them; they now materialize their (small) result and unpersist before
+    // returning
+    Dedup.ngramJaccardPairs(docs, threshold = 0.05).count()
+    Dedup.minhashLshCandidates(docs).count()
+    Dedup.simhashDupPairs(docs).count()
+    assert(GraftSqlShims.cacheManagerIsEmpty(spark),
+      "a pipeline operator leaked a cached relation")
+  }
+
   test("adaptive ANN: bucket count grows with N, occupancy stays bounded") {
     def synthEmb(n: Int) = spark.range(n).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(15)),
