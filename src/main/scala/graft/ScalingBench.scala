@@ -94,9 +94,14 @@ object ScalingBench {
   /** edge count of the most recent timeOnce build (untimed metadata) */
   var lastEdges: Long = 0L
 
+  /** partitions per core for the measured sessions (both levels): 2 tasks
+    * per core overlaps scheduling with work; raise via env to probe task-
+    * imbalance effects. */
+  private val partMult = sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTMULT", "2").toInt
+
   def timeOnce(adjPath: String, nPages: Long, cpus: Int, iters: Int): Double = {
-    val s = session(cpus, cpus * 2)
-    val adj = Adjacency.fromPacked(s.read.parquet(adjPath), nPages, cpus * 2)
+    val s = session(cpus, cpus * partMult)
+    val adj = Adjacency.fromPacked(s.read.parquet(adjPath), nPages, cpus * partMult)
     lastEdges = adj.numEdges
     PageRank.run(s, adj, tol = 0.0, maxIter = 1) // warm-up (JIT, caches)
     val t0 = System.nanoTime()

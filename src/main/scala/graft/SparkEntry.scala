@@ -866,16 +866,7 @@ object SparkEntry {
     "doc_fingerprint" -> docFingerprintSql,
 
     "ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
-        |           FROM documents),
-        |hh AS (SELECT doc_id,
-        |         list_transform(w, tok -> ${sqlPolyHash("tok", 31, 2147483647L, 10007L)}) AS h1,
-        |         list_transform(w, tok -> ${sqlPolyHash("reverse(tok)", 37, 2147483629L, 10009L)}) AS h2
-        |       FROM t),
-        |s0 AS (SELECT DISTINCT doc_id,
-        |         (${sqlHorner3("h1", 2147483647L)}) * 2147483648
-        |           + (${sqlHorner3("h2", 2147483629L)}) AS shingle
-        |       FROM hh, unnest(range(1, greatest(len(h1) - 1, 1))) u(i)),
+      s"""WITH $sqlShingleCtes,
         |rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 50),
         |s AS (SELECT s0.doc_id, s0.shingle FROM s0 JOIN rare USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
@@ -1024,6 +1015,21 @@ object SparkEntry {
     s"((($arr[i] * ${Dedup.shingleK} + $arr[i+1]) % $prime) * " +
       s"${Dedup.shingleK} + $arr[i+2]) % $prime"
 
+  /** mirror of Dedup.shingleIdRows as chained CTEs `t, hh, s0` — `s0` is the
+    * distinct (doc_id, shingle) table of 62-bit ids from per-token hashes;
+    * shared by the ngram_jaccard and minhash oracles. */
+  private def sqlShingleCtes: String =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+       |           FROM documents),
+       |hh AS (SELECT doc_id,
+       |         list_transform(w, tok -> ${sqlPolyHash("tok", 31, 2147483647L, 10007L)}) AS h1,
+       |         list_transform(w, tok -> ${sqlPolyHash("reverse(tok)", 37, 2147483629L, 10009L)}) AS h2
+       |       FROM t),
+       |s0 AS (SELECT DISTINCT doc_id,
+       |         (${sqlHorner3("h1", 2147483647L)}) * 2147483648
+       |           + (${sqlHorner3("h2", 2147483629L)}) AS shingle
+       |       FROM hh, unnest(range(1, greatest(len(h1) - 1, 1))) u(i))""".stripMargin
+
   private val minhashCoefSql: Seq[(Long, Long)] = Seq(
     (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
     (22695477L, 1L), (134775813L, 1L), (214013L, 2531011L),
@@ -1031,15 +1037,12 @@ object SparkEntry {
 
   private def minhashSql: String = {
     val mins = minhashCoefSql.zipWithIndex.map { case ((a, b), i) =>
-      s"min((h * $a + $b) % 2147483647) AS mh$i"
+      s"min((h31 * $a + $b) % 2147483647) AS mh$i"
     }.mkString(", ")
-    // shingle-based MinHash (mirrors Dedup.minhashSignatures: 3-word shingles)
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
-       |           FROM documents),
-       |tok AS (SELECT DISTINCT doc_id,
-       |          w[i] || '_' || w[i+1] || '_' || w[i+2] AS tok
-       |        FROM t, unnest(range(1, greatest(len(w) - 1, 1))) u(i)),
-       |h AS (SELECT doc_id, $sqlTokenHash AS h FROM tok)
+    // shingle-based MinHash (mirrors Dedup.minhashSignatures: 62-bit
+    // token-hash shingle ids folded to 31 bits for the permutations)
+    s"""WITH $sqlShingleCtes,
+       |h AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM s0)
        |SELECT doc_id, $mins FROM h GROUP BY doc_id""".stripMargin
   }
 

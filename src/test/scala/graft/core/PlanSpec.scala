@@ -41,6 +41,32 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     scannedCols.foreach(cols => assert(!cols.contains("v"), s"scan reads $cols"))
   }
 
+  test("masked mxv: the mask semi-join sits BELOW the aggregation") {
+    // the descriptor-fusion property (fundamentals.rst:56-63): filtering
+    // output ids before the ⊕-aggregation, not after — Catalyst will not
+    // invent this placement, so pin it
+    val a = GrbMatrix(edges(20).withColumn("v", lit(1.0)), GrbShape(20, 20))
+    val v = GrbVector((0L until 20).map(i => (i, 1.0)).toDF("id", "v"), 20)
+    val mask = GrbMask(Seq(1L, 2L, 3L).toDF("id"))
+    val plan = a.mxv(v, Ops.plusTimes, Some(mask)).df.queryExecution.optimizedPlan
+    // walk down from the Aggregate: a LeftSemi join must appear beneath it
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val agg = plan.collectFirst { case ag: Aggregate => ag }.get
+    val semiBelowAgg = agg.child.collect {
+      case j: Join if j.joinType == LeftSemi => j }.nonEmpty
+    assert(semiBelowAgg, plan.toString)
+  }
+
+  test("positional semiring products carry no value columns in the scan") {
+    // min_secondi's ⊗ is the join key itself — both operand value columns
+    // must be pruned from the scans (the positional analogue of iso-value)
+    val a = GrbMatrix(edges(20).withColumn("v", lit(1.0)), GrbShape(20, 20))
+    val plan = a.mxm(a, Ops.semiring("min_secondi")).df.queryExecution.optimizedPlan
+    val scannedCols = plan.collectLeaves().map(_.output.map(_.name).toSet)
+    scannedCols.foreach(cols => assert(!cols.contains("v"), s"scan reads $cols"))
+  }
+
   test("ewise filters push below the join (predicate pushdown intact)") {
     val a = Seq((1L, 2.0), (2L, -3.0)).toDF("id", "v")
     val b = Seq((1L, 5.0)).toDF("id", "v")
