@@ -492,6 +492,8 @@ object SparkEntry {
       Similarity.lshBuckets(t(s, d, "embeddings"), nBits = 8)),
     "embedding_ann_topk" -> ((s, d) =>
       Similarity.annTopKAdaptive(t(s, d, "embeddings"), k = 10, targetOcc = 64)),
+    "embedding_ann_multiprobe" -> ((s, d) =>
+      Similarity.annTopKMultiProbe(t(s, d, "embeddings"), k = 10, targetOcc = 64)),
     "media_meta" -> ((s, d) =>
       Media.metadata(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -923,6 +925,32 @@ object SparkEntry {
          |      (sqrt(list_dot_product(a.emb, a.emb)) *
          |       sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
          |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT query_id, cand_id, sim, rank FROM (
+         |  SELECT query_id, cand_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+         |  FROM sims) WHERE rank <= 10""".stripMargin,
+
+    "embedding_ann_multiprobe" ->
+      s"""WITH nb AS (SELECT greatest(1, CAST(ceil(log2(CAST(count(*) AS DOUBLE)
+         |    / 64.0)) AS BIGINT)) AS n FROM embeddings),
+         |bkt AS ($lshBucketsDynSql),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |    CASE WHEN j = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << (j - 1)) END AS bucket
+         |  FROM bkt, unnest(range(0, (SELECT n FROM nb) + 1)) u(j)),
+         |cand AS (SELECT p.query_id, c.vec_id AS cand_id
+         |         FROM probes p JOIN bkt c ON c.bucket = p.bucket
+         |           AND c.vec_id <> p.query_id),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sims AS (
+         |  SELECT cand.query_id, cand.cand_id,
+         |    round(list_dot_product(q.emb, c.emb) /
+         |      (sqrt(list_dot_product(q.emb, q.emb)) *
+         |       sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+         |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+         |            JOIN e c ON c.vec_id = cand.cand_id)
          |SELECT query_id, cand_id, sim, rank FROM (
          |  SELECT query_id, cand_id, sim,
          |    CAST(row_number() OVER (PARTITION BY query_id

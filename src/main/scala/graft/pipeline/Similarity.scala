@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Native codegen dot product (graft.functions.DotProduct): the
+    * `aggregate`/`zip_with` composition is a HigherOrderFunction chain that
+    * Spark evaluates interpreted — too slow for the innermost loop of the
+    * candidate joins (see DotProduct's Scaladoc). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(graft.functions.DotProduct(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -82,6 +83,35 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("ea"), col("eb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Multi-probe bucketed ANN: each query probes its OWN bucket plus every
+    * hamming-1 bucket (one hyperplane sign flipped) — recovering most of the
+    * recall single-probe loses at hyperplane boundaries (a near-neighbor
+    * lands one bit away with probability ≈ θ/π per plane) for ~(nBits+1)×
+    * the probe-side join volume. Candidates still only meet inside buckets,
+    * never all-pairs, and each (query, cand) pair arises from exactly one
+    * probe (the probe set has distinct buckets), so no dedup is needed.
+    * The probe explode is SKINNY (query_id, bucket) — embeddings join in
+    * afterwards by id, so no array is copied per generated row. */
+  def annTopKMultiProbe(emb: DataFrame, k: Int = 10, targetOcc: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBits = adaptiveBits(emb.count(), targetOcc)
+    val b = lshBuckets(emb, nBits)
+    val probeBuckets = col("bucket") +:
+      (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val probes = b.select(col("vec_id").as("query_id"),
+      explode(array(probeBuckets: _*)).as("bucket"))
+    val cands = probes
+      .join(b.select(col("bucket"), col("vec_id").as("cand_id")), "bucket")
+      .filter(col("query_id") =!= col("cand_id"))
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val sims = cands.join(qe, "query_id").join(ce, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
   /** Bucketed ANN: exact cosine, but only within LSH buckets. */

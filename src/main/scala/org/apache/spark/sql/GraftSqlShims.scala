@@ -36,6 +36,11 @@ object GraftSqlShims {
   def cacheManagerIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 
+  /** Column ↔ Expression bridges for graft's custom Catalyst expressions
+    * (ExpressionUtils is private[sql]). */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
   /** Rewrite physical output attrs to the analyzed output (positional, the
     * same correspondence fromDataset uses); drop anything that references
     * non-output attrs. */

@@ -72,6 +72,21 @@ class DedupSimSpec extends AnyFunSuite with SparkTest {
       "a pipeline operator leaked a cached relation")
   }
 
+  test("multi-probe ANN: per-query best neighbor never worse than single-probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sp = Similarity.annTopKAdaptive(emb, k = 1, targetOcc = 64)
+      .select(col("query_id"), col("sim").as("sp_sim"))
+    val mp = Similarity.annTopKMultiProbe(emb, k = 1, targetOcc = 64)
+      .select(col("query_id"), col("sim").as("mp_sim"))
+    // the probe set contains the own bucket, so multi-probe's candidate pool
+    // is a superset: its best similarity can never be lower
+    val worse = sp.join(mp, "query_id").filter(col("mp_sim") < col("sp_sim")).count()
+    assert(worse === 0)
+    // and it must actually widen the pool (hamming-1 probes hit real buckets)
+    assert(Similarity.annTopKMultiProbe(emb, k = 10, 64).count() >=
+      Similarity.annTopKAdaptive(emb, k = 10, 64).count())
+  }
+
   test("adaptive ANN: bucket count grows with N, occupancy stays bounded") {
     def synthEmb(n: Int) = spark.range(n).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(15)),
