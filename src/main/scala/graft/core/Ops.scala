@@ -184,6 +184,34 @@ object Ops {
     "secondj"  -> ((_, _, _, jb) => jb),
     "secondj1" -> ((_, _, _, jb) => jb + 1L))
 
+  // ---- complex ops (FC32/FC64 — optional in the reference too, gated by
+  //      `dtypes.py:15` _supports_complex; value = struct(re, im),
+  //      `dtypes.py:423-457`). The reference reuses the names plus/times
+  //      with per-dtype typed variants; our ops are untyped Column
+  //      combinators, so the complex variants carry explicit c-names
+  //      (documented divergence). ----
+  /** complex constructor/accessors over struct(re, im) values */
+  object Cx {
+    def apply(re: Column, im: Column): Column = struct(re.as("re"), im.as("im"))
+    def re(c: Column): Column = c("re")
+    def im(c: Column): Column = c("im")
+  }
+  val cmplxOp = BinaryOp("cmplx", (a, b) => Cx(a, b)) // binary.cmplx: (re, im) → complex
+  val conjOp  = UnaryOp("conj", c => Cx(Cx.re(c), -Cx.im(c)))
+  val crealOp = UnaryOp("creal", Cx.re)
+  val cimagOp = UnaryOp("cimag", Cx.im)
+  val cabsOp  = UnaryOp("cabs", c => hypotOp(Cx.re(c), Cx.im(c)))
+  val cplus   = BinaryOp("cplus", (a, b) =>
+    Cx(Cx.re(a) + Cx.re(b), Cx.im(a) + Cx.im(b)))
+  val cminus  = BinaryOp("cminus", (a, b) =>
+    Cx(Cx.re(a) - Cx.re(b), Cx.im(a) - Cx.im(b)))
+  val ctimes  = BinaryOp("ctimes", (a, b) =>
+    Cx(Cx.re(a) * Cx.re(b) - Cx.im(a) * Cx.im(b),
+       Cx.re(a) * Cx.im(b) + Cx.im(a) * Cx.re(b)))
+  /** complex plus monoid — componentwise sums in one aggregate */
+  val cplusMonoid = Monoid("cplus", cplus, Cx(lit(0.0), lit(0.0)),
+    c => Cx(sum(Cx.re(c)), sum(Cx.im(c))))
+
   // ---- monoids (reference `operator/monoid.py:239-255`) ----
   val plusMonoid  = Monoid("plus", plus, lit(0.0), sum)
   val minMonoid   = Monoid("min", minBin, lit(Double.PositiveInfinity), min)
@@ -241,19 +269,21 @@ object Ops {
     ceilOp, floorOp, sinOp, cosOp, tanOp, asinOp, acosOp, atanOp, sinhOp,
     coshOp, tanhOp, asinhOp, acoshOp, atanhOp, log2Op, log10Op, log1pOp,
     exp2Op, expm1Op, cbrtOp, roundOp, truncOp, isnanOp, isinfOp, isfiniteOp,
-    bnot).map(u => u.name -> u).toMap
+    bnot, conjOp, crealOp, cimagOp, cabsOp).map(u => u.name -> u).toMap
 
   val binaries: Map[String, BinaryOp] = (Seq(
     first, second, pair, anyOp, plus, minus, rminus, times, truediv, rdiv,
     minBin, maxBin, powOp, eq, ne, gt, lt, ge, le, lor, land, lxor, lxnor,
     cdiv, floordiv, fmod, remainder, bor, band, bxor, bxnor, bget, bset,
     bclr, bshift, atan2Op, hypotOp, ldexpOp, copysign, absfirst, abssecond,
-    rpow) ++ positionalBinaries).map(b => b.name -> b).toMap
+    rpow, cmplxOp, cplus, cminus, ctimes) ++ positionalBinaries)
+    .map(b => b.name -> b).toMap
 
   val monoids: Map[String, Monoid] = Seq(
     plusMonoid, minMonoid, maxMonoid, lorMonoid, landMonoid, timesMonoid,
     minLongMonoid, borMonoid, bandMonoid, bxorMonoid, bxnorMonoid,
-    lxorMonoid, lxnorMonoid, eqMonoid, anyMonoid).map(m => m.name -> m).toMap
+    lxorMonoid, lxnorMonoid, eqMonoid, anyMonoid, cplusMonoid)
+    .map(m => m.name -> m).toMap
 
   /** the ~20 named IndexUnary/Select ops (`operator/indexunary.py:94-110`;
     * positional rowindex/colindex coerce to INT64 per

@@ -38,8 +38,20 @@ object Types {
   val all: Seq[GrbType] =
     Seq(BOOL, INT8, UINT8, INT16, UINT16, INT32, UINT32, INT64, UINT64, FP32, FP64)
 
+  /** complex dtypes (OPTIONAL in the reference too — gated by
+    * `_supports_complex`, `dtypes.py:15,423-457`): struct(re, im) values.
+    * Outside the numeric promotion lattice like records (no implicit
+    * real→complex promotion — documented divergence); arithmetic via the
+    * c-named ops in the catalog (Ops.cplus/ctimes/conj/…). */
+  val FC32 = GrbType("FC32", StructType(Seq(
+    StructField("re", FloatType, nullable = false),
+    StructField("im", FloatType, nullable = false))), rank = -1, isFloat = true)
+  val FC64 = GrbType("FC64", StructType(Seq(
+    StructField("re", DoubleType, nullable = false),
+    StructField("im", DoubleType, nullable = false))), rank = -1, isFloat = true)
+
   private val byName = scala.collection.concurrent.TrieMap[String, GrbType](
-    all.map(t => t.name -> t): _*)
+    (all ++ Seq(FC32, FC64)).map(t => t.name -> t): _*)
   def lookup(name: String): GrbType = byName(name)
 
   /** UDT / record dtypes (reference `dtypes.py:165` register_new, `:195`

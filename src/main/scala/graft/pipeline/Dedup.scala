@@ -264,29 +264,35 @@ object Dedup {
   }
 
   /** 62-bit SimHash over token hashes: bit b of the signature is the sign of
-    * Σ_tokens (2*((h>>b)&1) - 1), with h the 62-bit combined hash. All bit
-    * extraction is integer shifts (exact; double division is not above
-    * 2^53). */
+    * Σ_tokens (2*((h>>b)&1) - 1), with h the 62-bit combined hash — i.e.
+    * bit b is set iff more than half the tokens have bit b set.
+    *
+    * Plan shape (round 3): ONE hash-aggregate with 62 cheap shift-and-count
+    * columns over the per-token hash rows, instead of exploding 62 bit-rows
+    * per token (which pushed 62×|tokens| rows — 310M at sf0.1 — through two
+    * aggregations; 5.1s → sub-second). `h` is materialized by its own
+    * projection below the aggregate, so the 62 aggregate inputs are
+    * single-shift reads, not 62 re-evaluations of the polynomial hash. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), " +")).as("tok"))
-    // hash in its OWN projection BELOW the bit-explode: an expression in the
-    // same select as explode() lands in the Project above the Generate and
-    // is re-evaluated per generated row — 62× per token (measured 77s vs 6s
-    // at sf0.1 for the whole signature)
+    // the repartition is a COMPUTE BARRIER, not a distribution need: with 62
+    // aggregates referencing `h`, CollapseProject folds a plain projection
+    // into the aggregate expressions and the polynomial hash re-evaluates
+    // 62× per token (measured 27s vs 1.3s at sf0.1). The exchange
+    // materializes h once per token (~16 bytes/row), and pre-partitioning by
+    // doc_id also makes the groupBy below exchange-free.
     val hashed = toks.select(col("doc_id"), shingleId(col("tok")).as("h"))
-    val withBits = hashed.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(simhashBits - 1))).as("bit"))
-    // (h >> bit) & 1 — shift amount is a Column, so go through the SQL
-    // shiftright function (the Scala builtin only takes a literal Int)
-    val bitVal = call_function("shiftright", col("h"), col("bit").cast("int"))
-      .bitwiseAND(lit(1L))
-    withBits
-      .groupBy("doc_id", "bit")
-      .agg(sum(bitVal * 2 - 1).as("bal"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("bal") > 0,
-        call_function("shiftleft", lit(1L), col("bit").cast("int")))
-        .otherwise(0L)).as("simhash"))
+      .repartition(col("doc_id"))
+    val bitSums = (0 until simhashBits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b")
+    }
+    val counted = hashed.groupBy("doc_id")
+      .agg(count(lit(1L)).as("n"), bitSums: _*)
+    // bit b set ⟺ balance Σ(2·bit−1) > 0 ⟺ 2·s_b > n
+    val sig = (0 until simhashBits).map { b =>
+      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    counted.select(col("doc_id"), sig.as("simhash"))
   }
 }

@@ -45,8 +45,10 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
       "round" -> 1.0, "trunc" -> 0.0,
       "isnan" -> 0.0, "isinf" -> 0.0, "isfinite" -> 1.0,
       "lnot" -> 0.0 /* 0.5 casts to true */)
+    // integral-only (bnot) and struct-input complex unaries test elsewhere
+    val skipUnary = Set("bnot", "conj", "creal", "cimag", "cabs")
     Ops.unaries.foreach { case (name, op) =>
-      if (name != "bnot") { // integral-only
+      if (!skipUnary(name)) {
         val got = d(evalC(op(lit(x))))
         val want = expected(name)
         if (want.isNaN) assert(got.isNaN, name)
@@ -94,8 +96,10 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
       assert(math.abs(got - want) < 1e-12, s"case $i: got $got want $want")
     }
     // every registered binary evaluates without throwing on FP64-safe pairs
+    // (integral-only and struct-input complex ops excluded)
     val floatSafe = Ops.binaries -- Seq("bor", "band", "bxor", "bxnor",
-      "bget", "bset", "bclr", "bshift", "cdiv", "floordiv")
+      "bget", "bset", "bclr", "bshift", "cdiv", "floordiv",
+      "cplus", "cminus", "ctimes")
     floatSafe.foreach { case (name, op) => evalC(op(lit(2.0), lit(3.0))); () }
   }
 
@@ -107,7 +111,9 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
     // 1e-15 RELATIVE — exp(sum(log))-style recipes fail it.
     val values = Seq(5L, 3L, 9L, 1L, -2L, 7L)
     val df = values.toDF("v").repartition(1) // deterministic FP fold order
-    val skip = Set("any") // `any` has no identity (doc'd); min-consistency below
+    // `any` has no identity (doc'd; min-consistency below); `cplus` is
+    // struct-valued (complex) — law-checked in the FC64 test instead
+    val skip = Set("any", "cplus")
     Ops.monoids.foreach { case (name, m) =>
       if (!skip(name)) {
         val fast = d(df.agg(m.agg(col("v")).as("r")).collect()(0).get(0))
@@ -219,6 +225,35 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
       .df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(ri === Map((2L, 1L) -> 12L, (1L, 2L) -> 11L, (2L, 2L) -> 12L))
     assert(Ops.indexUnaries.size >= 19)
+  }
+
+  test("complex FC64: c-ops arithmetic + cplus_ctimes semiring (dtypes.py:423-457)") {
+    import Ops.Cx
+    def c(re: Double, im: Double) = Cx(lit(re), lit(im))
+    def asPair(a: Any): (Double, Double) = {
+      val r = a.asInstanceOf[org.apache.spark.sql.Row]
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // (1+2i)(3+4i) = -5+10i ; (1+2i)+(3+4i) = 4+6i ; conj, creal/cimag, |3+4i|
+    assert(asPair(evalC(Ops.ctimes(c(1, 2), c(3, 4)))) === ((-5.0, 10.0)))
+    assert(asPair(evalC(Ops.cplus(c(1, 2), c(3, 4)))) === ((4.0, 6.0)))
+    assert(asPair(evalC(Ops.conjOp(c(1, 2)))) === ((1.0, -2.0)))
+    assert(d(evalC(Ops.crealOp(c(7, 9)))) === 7.0)
+    assert(d(evalC(Ops.cimagOp(c(7, 9)))) === 9.0)
+    assert(d(evalC(Ops.cabsOp(c(3, 4)))) === 5.0)
+    // complex mxm over the generated cplus_ctimes semiring:
+    // A = [[1+i, 0], [0, 2i]]; A@A = [[(1+i)², 0], [0, (2i)²]] = [[2i,0],[0,-4]]
+    val a = GrbMatrix(
+      Seq((0L, 0L, 1.0, 1.0), (1L, 1L, 0.0, 2.0)).toDF("src", "dst", "re", "im")
+        .select(col("src"), col("dst"), struct(col("re"), col("im")).as("v")),
+      GrbShape(2, 2))
+    val sq = a.mxm(a, Ops.semiring("cplus_ctimes")).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> asPair(r.get(2))).toMap
+    assert(sq === Map((0L, 0L) -> ((0.0, 2.0)), (1L, 1L) -> ((-4.0, 0.0))))
+    // dtype registry entries exist; no real→complex promotion
+    assert(Types.lookup("FC64").spark.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(Types.unify(Types.FC64, Types.FC64) === Types.FC64)
+    intercept[IllegalArgumentException](Types.unify(Types.FC64, Types.FP64))
   }
 
   test("dtype registry: lookup, unify lattice, spark mapping") {
