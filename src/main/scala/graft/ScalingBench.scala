@@ -94,14 +94,22 @@ object ScalingBench {
   /** edge count of the most recent timeOnce build (untimed metadata) */
   var lastEdges: Long = 0L
 
-  /** partitions per core for the measured sessions (both levels): 2 tasks
-    * per core overlaps scheduling with work; raise via env to probe task-
-    * imbalance effects. */
-  private val partMult = sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTMULT", "2").toInt
+  /** Shuffle/adjacency partition count for the measured sessions — FIXED
+    * across parallelism levels (default 64 = 2×the widest level's cores).
+    * On a real cluster the job's partitioning is sized for the DATA and does
+    * not change when the executor count does; rounds 1-2 tied partitions to
+    * cores (cpus×2), which conflated plan shape with parallelism — the
+    * low-core leg got fewer, larger partitions and therefore a better
+    * map-side combine reduction than the high-core leg, biasing the
+    * efficiency ratio DOWN (measured ~5% at 2→8). Holding the partition
+    * count constant is the faithful "same job, N vs 4N executors" emulation
+    * the north-rule criterion describes. Override via
+    * SPARK_GRAFT_SCALING_PARTS. */
+  private val fixedParts = sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTS", "64").toInt
 
   def timeOnce(adjPath: String, nPages: Long, cpus: Int, iters: Int): Double = {
-    val s = session(cpus, cpus * partMult)
-    val adj = Adjacency.fromPacked(s.read.parquet(adjPath), nPages, cpus * partMult)
+    val s = session(cpus, fixedParts)
+    val adj = Adjacency.fromPacked(s.read.parquet(adjPath), nPages, fixedParts)
     lastEdges = adj.numEdges
     PageRank.run(s, adj, tol = 0.0, maxIter = 1) // warm-up (JIT, caches)
     val t0 = System.nanoTime()
