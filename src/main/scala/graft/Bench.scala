@@ -82,7 +82,7 @@ object Bench {
         // one and under-reported efficiency (0.783 vs 0.80+ warm)
         val levels = ScalingBench.measureLevels(adjPath, nP, Seq(2, 8, 32),
           iters = iters,
-          trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "4").toInt,
+          trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt,
           warmup = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUP", "1").toInt)
         val nE = ScalingBench.lastEdges
         def pair(lo: Int, hi: Int) = ScalingBench.PairResult(

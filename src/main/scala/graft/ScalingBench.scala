@@ -84,10 +84,20 @@ object ScalingBench {
     def tputLow: Double = nEdges.toDouble * iters / secLow
     def tputHigh: Double = nEdges.toDouble * iters / secHigh
     def efficiency: Double = (tputHigh / tputLow) / (highCpus.toDouble / lowCpus)
+    /** per-trial PAIRED efficiency (trial i's low vs trial i's high): the two
+      * legs of one trial run back-to-back, so slow-drifting host noise hits
+      * both and cancels in the ratio — a diagnostic that separates "the code
+      * doesn't scale" from "a multi-minute neighbor burst sat on the whole
+      * window" (observed: bursts inflating every trial ~1.5×). The headline
+      * `efficiency` stays the per-level-minimum definition of rounds 1-3. */
+    def pairedEff: Seq[Double] =
+      lows.zip(highs).map { case (l, h) =>
+        (l / h) / (highCpus.toDouble / lowCpus) }
     def json: String = {
       val lowsS = lows.map(x => f"$x%.2f").mkString("[", ",", "]")
       val highsS = highs.map(x => f"$x%.2f").mkString("[", ",", "]")
-      f"""{"protocol":"scaling","pages":$nPages,"edges":$nEdges,"iters":$iters,"trials_low_sec":$lowsS,"trials_high_sec":$highsS,"low_cpus":$lowCpus,"high_cpus":$highCpus,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,"edges_per_sec_low":$tputLow%.0f,"edges_per_sec_high":$tputHigh%.0f,"efficiency":$efficiency%.3f}"""
+      val pairedS = pairedEff.map(x => f"$x%.3f").mkString("[", ",", "]")
+      f"""{"protocol":"scaling","pages":$nPages,"edges":$nEdges,"iters":$iters,"trials_low_sec":$lowsS,"trials_high_sec":$highsS,"low_cpus":$lowCpus,"high_cpus":$highCpus,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,"edges_per_sec_low":$tputLow%.0f,"edges_per_sec_high":$tputHigh%.0f,"paired_efficiency":$pairedS,"efficiency":$efficiency%.3f}"""
     }
   }
 
