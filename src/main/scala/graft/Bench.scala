@@ -17,6 +17,48 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     new java.io.File("/dev/shm/graft-spark").mkdirs()
+
+    // Per-round scaling protocol (BENCH/BASELINE.md): report BOTH the
+    // 2→8-core point (the criterion range — cores are the scaled resource)
+    // and the 8→32 point (DRAM-bandwidth-bound on this box, tracked for
+    // transparency) every round.
+    //
+    // The scaling phase runs FIRST (round-4 protocol change): the r3
+    // artifact ran it after ~25 minutes of 32-thread query churn and its
+    // 8-core legs carried 1.6× outliers that no fresh-JVM validation run
+    // reproduced (VERDICT r3) — accumulated heap/allocator state biased the
+    // high-core windows while the 2-core leg, running last, caught a clean
+    // one. Fresh-process-first matches the standalone validation runs
+    // (D/E/G: 0.865/0.906/0.978) that the in-artifact estimator kept
+    // missing. Timed trials are 4 iterations (was 2): the per-session init
+    // is only ~1-2.5s fixed (PhaseProbe), so longer trials change no
+    // per-iteration economics — they just average each sample over a wider
+    // host-noise window, stabilizing the per-level minimum.
+    // SPARK_GRAFT_SCALING=0 skips.
+    val scalingJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "0") "[]"
+      else try {
+        val nP = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAGES", "10000000").toLong
+        val iters = sys.env.getOrElse("SPARK_GRAFT_SCALING_ITERS", "4").toInt
+        val adjPath = ScalingBench.ensureAdjacency(nP)
+        // interleaved trials behind one DISCARDED warm-up pass per level
+        // (first visits run 1.5-2.5× slow: JIT + allocator ramp), per-level
+        // minimum — the noise filter this bursty shared host requires
+        val levels = ScalingBench.measureLevels(adjPath, nP, Seq(2, 8, 32),
+          iters = iters,
+          trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt,
+          warmup = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUP", "1").toInt)
+        val nE = ScalingBench.lastEdges
+        def pair(lo: Int, hi: Int) = ScalingBench.PairResult(
+          nP, nE, iters, lo, hi, levels(lo), levels(hi)).json
+        s"[${pair(2, 8)},${pair(8, 32)}]"
+      } catch {
+        case e: Throwable =>
+          // a scaling-phase failure must not lose the query bench line
+          System.err.println(s"[bench] scaling phase FAILED: ${e.getMessage}")
+          "[]"
+      }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,9 +82,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: PageRank throughput on the synthetic web graph
-    val nPages = if (sfDir.contains("sf0.1")) 200000L
-                 else if (sfDir.contains("sf0.01")) 50000L else 10000L
+    // headline: PageRank throughput on the synthetic web graph. Sized from
+    // the PARSED scale factor (SparkEntry.sfOf) — not substring sniffing:
+    // "sf0.12".contains("sf0.1") made the old chain ordering-fragile
+    // (ADVICE r2 / VERDICT r3 item 3).
+    val sf = SparkEntry.sfOf(sfDir)
+    val nPages = if (sf >= 0.1) 200000L else if (sf >= 0.01) 50000L else 10000L
     val tg0 = System.nanoTime()
     val pages = Pages.synthesize(spark, nPages)
     val ids = Pages.idMap(pages)
@@ -59,41 +104,6 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum + tBuild + tPr
     spark.stop()
-
-    // Per-round scaling protocol (BENCH/BASELINE.md): report BOTH the
-    // 2→8-core point (the criterion range — cores are the scaled resource)
-    // and the 8→32 point (DRAM-bandwidth-bound on this box, tracked for
-    // transparency) every round. Round-1 protocol size (10M pages / 100M
-    // edges, 2 iters): small inputs are serial-floor-dominated at 8+ cores
-    // and under-report efficiency. Levels interleaved (2,8,32)×trials, min
-    // per level, the shared 8-core min serving both pairs.
-    // SPARK_GRAFT_SCALING=0 skips.
-    val scalingJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "0") "[]"
-      else try {
-        val nP = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAGES", "10000000").toLong
-        val iters = 2
-        val adjPath = ScalingBench.ensureAdjacency(nP)
-        // interleaved trials behind one DISCARDED warm-up pass per level:
-        // this host has multi-second neighbor bursts (observed 130s/199s
-        // outliers on otherwise ~75s/20s runs) and the per-level MINIMUM
-        // needs enough warm samples to catch a clean window — round 2's
-        // artifact compared a still-cold 8-core window against a warm 2-core
-        // one and under-reported efficiency (0.783 vs 0.80+ warm)
-        val levels = ScalingBench.measureLevels(adjPath, nP, Seq(2, 8, 32),
-          iters = iters,
-          trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt,
-          warmup = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUP", "1").toInt)
-        val nE = ScalingBench.lastEdges
-        def pair(lo: Int, hi: Int) = ScalingBench.PairResult(
-          nP, nE, iters, lo, hi, levels(lo), levels(hi)).json
-        s"[${pair(2, 8)},${pair(8, 32)}]"
-      } catch {
-        case e: Throwable =>
-          // a scaling-phase failure must not lose the query bench line
-          System.err.println(s"[bench] scaling phase FAILED: ${e.getMessage}")
-          "[]"
-      }
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","webgraph":{"pages":$nPages,"edges":${adj.numEdges},"build_sec":$tBuild%.3f,"pagerank_sec":$tPr%.3f,"pagerank_iters":${pr.iterations},"edges_per_sec":$edgesPerSec%.0f},"scaling":$scalingJson}""")

@@ -126,6 +126,7 @@ object ScalingBench {
     PageRank.run(s, adj, tol = 0.0, maxIter = iters)
     val sec = (System.nanoTime() - t0) / 1e9
     s.stop()
+    System.err.println(f"[scaling] cpus=$cpus iters=$iters sec=$sec%.2f")
     sec
   }
 

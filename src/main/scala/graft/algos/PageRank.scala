@@ -66,7 +66,12 @@ object PageRank {
       val contrib = adj.rows
         .join(t, adj.rows("src") === t("id"))
         .select(col("dsts"), (col("v") * damping / col("deg")).as("c"))
-        .select(explode(col("dsts")).as("dst"), col("c"))
+        .select(explode(col("dsts")).as("_dn"), col("c"))
+        // widen the (possibly int-packed, see Adjacency.fromPacked) neighbor
+        // id to long right after the generator: a register-width cast per
+        // edge row, so the aggregation keys/partitioning stay long and the
+        // downstream zero-exchange join shape is untouched
+        .select(col("_dn").cast("long").as("dst"), col("c"))
       // partial(map-side)+final aggregation on dst. An exchange-first
       // variant (repartition raw per-edge rows, aggregate after the shuffle,
       // keeping every agg map |V|/p-sized) was measured and REJECTED: the

@@ -16,16 +16,23 @@ object Aggs {
     * plain FP multiplication in the aggregation buffer — bit-exact per IEEE
     * rounding, unlike the `exp(sum(log(abs)))` recipe whose last-bits drift
     * accumulates with group size. */
-  private object ProductAgg extends Aggregator[Double, Double, Double] {
+  // Input type is java.lang.Double, NOT Double: with Encoders.scalaDouble a
+  // SQL NULL deserializes to 0.0 and silently poisons the fold (a group
+  // [2.0, null, 3.0] would yield 0.0 instead of 6.0 — ADVICE r3). Boxed
+  // input + an explicit null skip matches the null-skipping contract of
+  // every builtin aggregate (sum/min/max) and the reference's
+  // missing-value semantics.
+  private object ProductAgg extends Aggregator[java.lang.Double, Double, Double] {
     def zero: Double = 1.0
-    def reduce(b: Double, a: Double): Double = b * a
+    def reduce(b: Double, a: java.lang.Double): Double =
+      if (a == null) b else b * a
     def merge(b1: Double, b2: Double): Double = b1 * b2
     def finish(r: Double): Double = r
     def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  private lazy val productUdaf = udaf(ProductAgg, Encoders.scalaDouble)
+  private lazy val productUdaf = udaf(ProductAgg, Encoders.DOUBLE)
 
   /** product over a group; missing (null) on empty input — the Aggregator's
     * zero would otherwise surface as 1.0 and break the reduce-of-empty =
@@ -38,12 +45,18 @@ object Aggs {
     * recipe, which the reference aggregator inherits — `agg.py:382-404`). */
   final case class LseBuf(m: Double, s: Double)
 
-  private object LogSumExpAgg extends Aggregator[Double, LseBuf, Double] {
+  // boxed input + null skip for the same reason as ProductAgg (a null would
+  // otherwise count as exp(0) = 1 in the shifted sum)
+  private object LogSumExpAgg extends Aggregator[java.lang.Double, LseBuf, Double] {
     def zero: LseBuf = LseBuf(Double.NegativeInfinity, 0.0)
-    def reduce(b: LseBuf, x: Double): LseBuf =
-      if (b.s == 0.0) LseBuf(x, 1.0)
-      else if (x <= b.m) LseBuf(b.m, b.s + math.exp(x - b.m))
-      else LseBuf(x, b.s * math.exp(b.m - x) + 1.0)
+    def reduce(b: LseBuf, xx: java.lang.Double): LseBuf =
+      if (xx == null) b
+      else {
+        val x = xx.doubleValue()
+        if (b.s == 0.0) LseBuf(x, 1.0)
+        else if (x <= b.m) LseBuf(b.m, b.s + math.exp(x - b.m))
+        else LseBuf(x, b.s * math.exp(b.m - x) + 1.0)
+      }
     def merge(a: LseBuf, b: LseBuf): LseBuf =
       if (a.s == 0.0) b
       else if (b.s == 0.0) a
@@ -54,7 +67,7 @@ object Aggs {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  private lazy val lseUdaf = udaf(LogSumExpAgg, Encoders.scalaDouble)
+  private lazy val lseUdaf = udaf(LogSumExpAgg, Encoders.DOUBLE)
 
   /** log(Σ exp(x)) — overflow-safe for inputs ≳710 where the naive
     * `log(sum(exp))` saturates to +inf. */

@@ -130,12 +130,22 @@ object Kernels {
           .otherwise(col("_vb")).as(V): _*)
   }
 
-  /** ewise_mult = intersection (inner join), `matrix.py:1952` */
+  /** ewise_mult = intersection (inner join), `matrix.py:1952`.
+    * A bound IndexBinaryOp (`Ops.boundIndexMult`) resolves to its
+    * index-aware form: both operands share the join keys, so (i, j) — or
+    * (i, i) for vectors, the select convention — are the key columns. */
   def ewiseMultDF(a: DataFrame, b: DataFrame, keys: Seq[String], op: BinaryOp): DataFrame = {
     val la = a.select(keys.map(col) :+ col(V).as("_va"): _*)
     val rb = b.select(keys.map(col) :+ col(V).as("_vb"): _*)
+    val (ki, kj) = keys match {
+      case Seq(s, d) => (col(s), col(d))
+      case Seq(k)    => (col(k), col(k))
+    }
+    val out = Ops.boundIndexMult.get(op.name)
+      .map(f => f(col("_va"), ki, kj, col("_vb"), ki, kj))
+      .getOrElse(op(col("_va"), col("_vb")))
     la.join(rb, keys, "inner")
-      .select(keys.map(col) :+ op(col("_va"), col("_vb")).as(V): _*)
+      .select(keys.map(col) :+ out.as(V): _*)
   }
 
   /** ewise_union = union with per-side fill defaults (`matrix.py:2043`) */
@@ -211,6 +221,8 @@ final case class GrbVector(df: DataFrame, size: Long) {
     val left = df.select(col(ID).as("_i"), col(V).as("_vv"))
     val multCol = Ops.positionalMult.get(s.mult.name)
       .map(f => f(col("_i"), lit(0L), col("_i"), col(DST)))
+      .orElse(Ops.boundIndexMult.get(s.mult.name)
+        .map(f => f(col("_vv"), col("_i"), lit(0L), col(V), col("_i"), col(DST))))
       .getOrElse(s.mult(col("_vv"), col(V)))
     var prod = left.join(a.df, col("_i") === a.df(SRC))
       .select(col(DST).as(ID), multCol.as("_m"))
@@ -290,6 +302,20 @@ final case class GrbVector(df: DataFrame, size: Long) {
   def reposition(off: Long): GrbVector =
     copy(df = df.select((col(ID) + off).as(ID), col(V))
       .filter(col(ID) >= 0 && col(ID) < size))
+
+  /** Vector → diagonal Matrix (`vector.py:605` Vector.diag /
+    * `core/ss/matrix.py:252` ss.build_diag, GxB_Matrix_diag): a
+    * (size+|k|)-square matrix holding v[i] at (i, i+k) for k ≥ 0 and at
+    * (i+|k|, i) for k < 0 — the inverse of GrbMatrix.diag, and the recipe
+    * base of the reference's own argmin/argmax aggregators (`agg.py:533`).
+    * Pure projection: no shuffle, no action. */
+  def diag(k: Long = 0): GrbMatrix = {
+    val n = size + math.abs(k)
+    val d =
+      if (k >= 0) df.select(col(ID).as(Names.SRC), (col(ID) + k).as(Names.DST), col(V))
+      else df.select((col(ID) - k).as(Names.SRC), col(ID).as(Names.DST), col(V))
+    GrbMatrix(d, GrbShape(n, n))
+  }
 
   /** outer product v ⊗ w → Matrix (`vector.py:1746`) — cross join; keep the
     * smaller side broadcastable or block it at scale. */
@@ -389,6 +415,8 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     val right = v.df.select(col(ID).as("_j"), col(V).as("_vv"))
     val multCol = Ops.positionalMult.get(s.mult.name)
       .map(f => f(col(SRC), col("_j"), col("_j"), lit(0L)))
+      .orElse(Ops.boundIndexMult.get(s.mult.name)
+        .map(f => f(col(V), col(SRC), col("_j"), col("_vv"), col("_j"), lit(0L))))
       .getOrElse(s.mult(col(V), col("_vv")))
     var prod = df.join(right, col(DST) === col("_j"))
       .select(col(SRC).as(ID), multCol.as("_m"))
@@ -406,6 +434,8 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     val r = other.df.select(col(SRC).as("_k2"), col(DST).as("_j"), col(V).as("_vb"))
     val multCol = Ops.positionalMult.get(s.mult.name)
       .map(f => f(col("_i"), col("_k"), col("_k"), col("_j")))
+      .orElse(Ops.boundIndexMult.get(s.mult.name)
+        .map(f => f(col("_va"), col("_i"), col("_k"), col("_vb"), col("_k"), col("_j"))))
       .getOrElse(s.mult(col("_va"), col("_vb")))
     var prod = l.join(r, col("_k") === col("_k2"))
       .select(col("_i").as(SRC), col("_j").as(DST), multCol.as("_m"))
@@ -414,10 +444,14 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
       GrbShape(shape.nrows, other.shape.ncols))
   }
 
-  /** extract k-th diagonal → Vector (`matrix.py:720`) */
+  /** extract k-th diagonal → Vector (`matrix.py:720` / GxB_Vector_diag):
+    * v[i] = A[i, i+k] for k ≥ 0, A[i+|k|, i] for k < 0 — the vector index
+    * is the row for super-diagonals and the COLUMN for sub-diagonals, so
+    * GrbVector.diag(k).diag(k) round-trips for every k. */
   def diag(k: Long = 0): GrbVector =
-    GrbVector(df.filter(col(DST) - col(SRC) === k).select(col(SRC).as(ID), col(V)),
-      math.min(shape.nrows, shape.ncols))
+    GrbVector(df.filter(col(DST) - col(SRC) === k)
+      .select((if (k >= 0) col(SRC) else col(DST)).as(ID), col(V)),
+      math.min(shape.nrows + math.min(k, 0), shape.ncols - math.max(k, 0)))
 
   /** extract submatrix with dense index remap (SURVEY.md §2.7): `rowMap` /
     * `colMap` are (old→new) DataFrames. Shuffle joins by default (the remap

@@ -45,6 +45,36 @@ final case class IndexUnaryOp(name: String, f: (Column, Column, Column, Column) 
   def apply(v: Column, i: Column, j: Column, thunk: Column): Column = f(v, i, j, thunk)
 }
 
+/** User-defined IndexBinaryOp (`operator/indexbinary.py:231`,
+  * `docs/user_guide/operators.rst:225-255`): the two-input analogue of
+  * IndexUnaryOp — `f(x, ix, jx, y, iy, jy, theta)` sees both values AND
+  * both elements' row/column indices plus a bound thunk. There are no
+  * built-ins; users register their own by name (`Ops.registerIndexBinary`)
+  * and bind a theta (`bound`) to get a regular BinaryOp usable in
+  * ewise_mult or as a semiring ⊗ for mxm/mxv/vxm
+  * (`Semiring._build_from_bound_indexbinary`, `semiring.py:277`).
+  *
+  * In our join-form kernels the four index columns are the join/output keys,
+  * so index access is free: kernels resolve the full 6-index form through
+  * `Ops.boundIndexMult` by the bound op's name — the same hook positional
+  * binaries use. Vector operands take (i, 0) coordinates (an n×1 column),
+  * matching the positional-semiring convention. */
+final case class IndexBinaryOp(
+    name: String,
+    f: (Column, Column, Column, Column, Column, Column, Column) => Column) {
+  /** Bind theta → a named BinaryOp. Kernels (ewise_mult/mxm/mxv/vxm)
+    * resolve the registered index-aware form; the plain (a, b) application
+    * evaluates with NULL indices and is only meaningful for value-only
+    * functions. */
+  def bound(theta: Column): BinaryOp = {
+    val bname = s"$name#${Ops.boundSeq.incrementAndGet()}"
+    Ops.boundIndexMult.put(bname,
+      (va, ia, ja, vb, ib, jb) => f(va, ia, ja, vb, ib, jb, theta))
+    val nul = lit(null).cast("long")
+    BinaryOp(bname, (a, b) => f(a, nul, nul, b, nul, nul, theta))
+  }
+}
+
 object Ops {
   // ---- unary (reference `operator/unary.py`; all map to codegen'd
   //      org.apache.spark.sql.functions) ----
@@ -88,6 +118,73 @@ object Ops {
     c => !(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity))
   // bitwise complement (integral dtypes)
   val bnot = UnaryOp("bnot", bitwise_not)
+
+  // ---- SS-extension unaries erf/erfc/lgamma/tgamma/frexpe/frexpx
+  //      (`operator/base.py:25-29`): no Spark builtins — closed-form Column
+  //      expressions (VERDICT r3 item 8). erf/erfc: Abramowitz-Stegun 7.1.26
+  //      (|err| ≤ 1.5e-7; tolerance-tested in OpCatalogSpec); lgamma/tgamma:
+  //      Lanczos g=7 series (~1e-13 relative); frexpe/frexpx: exact via
+  //      floor(log2) plus one correction step. All stay inside whole-stage
+  //      codegen — flat arithmetic, no UDFs. ----
+  /** A-S 7.1.26 computes erfc(x) = poly(t)·e^{−x²} directly for x ≥ 0 —
+    * using it for erfc (not 1−erf) keeps large-x tail precision. */
+  private def erfcPos(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t
+    poly * exp(-x * x)
+  }
+  val erfOp  = UnaryOp("erf", c =>
+    when(c >= 0, lit(1.0) - erfcPos(c)).otherwise(erfcPos(-c) - 1.0))
+  val erfcOp = UnaryOp("erfc", c =>
+    when(c >= 0, erfcPos(c)).otherwise(lit(2.0) - erfcPos(-c)))
+
+  // Lanczos g=7 n=9 coefficients (public classic constants)
+  private val lanczosC = Seq(0.99999999999980993, 676.5203681218851,
+    -1259.1392167224028, 771.32342877765313, -176.61502916214059,
+    12.507343278686905, -0.13857109526572012, 9.9843695780195716e-6,
+    1.5056327351493116e-7)
+  /** log Γ(z) for z ≥ 0.5 (Lanczos) */
+  private def lgammaPos(z: Column): Column = {
+    val zm = z - 1.0
+    val a = lanczosC.zipWithIndex.tail.foldLeft(lit(lanczosC.head)) {
+      case (acc, (ci, i)) => acc + lit(ci) / (zm + i)
+    }
+    val t = zm + 7.5
+    lit(0.5 * math.log(2 * math.Pi)) + (zm + 0.5) * log(t) - t + log(a)
+  }
+  val lgammaOp = UnaryOp("lgamma", c =>
+    when(c >= 0.5, lgammaPos(c))
+      // reflection: lgamma(x) = log|π / sin(πx)| − lgamma(1−x)
+      .otherwise(log(abs(lit(math.Pi) / sin(lit(math.Pi) * c))) -
+        lgammaPos(lit(1.0) - c)))
+  val tgammaOp = UnaryOp("tgamma", c =>
+    when(c >= 0.5, exp(lgammaPos(c)))
+      // reflection form keeps the SIGN: Γ(x) = π / (sin(πx) · Γ(1−x))
+      .otherwise(lit(math.Pi) /
+        (sin(lit(math.Pi) * c) * exp(lgammaPos(lit(1.0) - c)))))
+
+  /** x·2^(−e), safe past the normal exponent range (two-step so neither the
+    * scale factor nor the intermediate overflows/flushes for |e| ≤ 1074). */
+  private def frexpScale(c: Column, e: Column): Column =
+    when(e > 500, (c * lit(math.pow(2.0, -500))) * pow(lit(2.0), -(e - 500)))
+      .when(e < -500, (c * lit(math.pow(2.0, 500))) * pow(lit(2.0), -(e + 500)))
+      .otherwise(c * pow(lit(2.0), -e))
+  /** frexp exponent: x = m·2^e, |m| ∈ [0.5, 1). floor(log2)+1 with one
+    * correction step absorbing log2's off-by-ulp at power-of-two inputs. */
+  private def frexpE(c: Column): Column = {
+    val e0 = floor(log2(abs(c))) + 1
+    val m0 = frexpScale(c, e0)
+    when(abs(m0) >= 1.0, e0 + 1).when(abs(m0) < 0.5, e0 - 1).otherwise(e0)
+  }
+  // C frexp contract: x = 0 → (m = 0, e = 0); ±inf/NaN → (m = x, e = 0
+  // — "unspecified" in C, pinned to 0 here)
+  val frexpeOp = UnaryOp("frexpe", c =>
+    when(c === 0.0 || isnan(c) || abs(c) === Double.PositiveInfinity, lit(0L))
+      .otherwise(frexpE(c).cast("long")))
+  val frexpxOp = UnaryOp("frexpx", c =>
+    when(c === 0.0 || isnan(c) || abs(c) === Double.PositiveInfinity, c)
+      .otherwise(frexpScale(c, frexpE(c))))
 
   // ---- binary (reference `operator/binary.py:421-460`) ----
   val first  = BinaryOp("first", (a, _) => a)
@@ -142,7 +239,14 @@ object Ops {
   val hypotOp  = BinaryOp("hypot", (a, b) => {
     val mx = greatest(abs(a), abs(b))
     val mn = least(abs(a), abs(b))
-    when(mx === 0.0, lit(0.0)).otherwise(mx * sqrt(lit(1.0) + (mn / mx) * (mn / mx)))
+    // IEEE/C99: hypot(±inf, y) = +inf for ANY y including NaN — the scaled
+    // form alone would compute inf/inf = NaN there (ADVICE r3). The guard
+    // tests |a|/|b| directly (not mx): Spark orders NaN above +inf, so
+    // mx === inf is false for (inf, NaN).
+    when(abs(a) === Double.PositiveInfinity || abs(b) === Double.PositiveInfinity,
+        lit(Double.PositiveInfinity))
+      .when(mx === 0.0, lit(0.0))
+      .otherwise(mx * sqrt(lit(1.0) + (mn / mx) * (mn / mx)))
   })
   val ldexpOp  = BinaryOp("ldexp", (a, b) => a * pow(lit(2.0), b))
   val copysign = BinaryOp("copysign",
@@ -269,7 +373,9 @@ object Ops {
     ceilOp, floorOp, sinOp, cosOp, tanOp, asinOp, acosOp, atanOp, sinhOp,
     coshOp, tanhOp, asinhOp, acoshOp, atanhOp, log2Op, log10Op, log1pOp,
     exp2Op, expm1Op, cbrtOp, roundOp, truncOp, isnanOp, isinfOp, isfiniteOp,
-    bnot, conjOp, crealOp, cimagOp, cabsOp).map(u => u.name -> u).toMap
+    bnot, conjOp, crealOp, cimagOp, cabsOp,
+    erfOp, erfcOp, lgammaOp, tgammaOp, frexpeOp, frexpxOp)
+    .map(u => u.name -> u).toMap
 
   val binaries: Map[String, BinaryOp] = (Seq(
     first, second, pair, anyOp, plus, minus, rminus, times, truediv, rdiv,
@@ -309,6 +415,24 @@ object Ops {
     IndexUnaryOp("valuegt", (v, _, _, t) => v > t),
     IndexUnaryOp("valuege", (v, _, _, t) => v >= t)
   ).map(o => o.name -> o).toMap
+
+  // ---- IndexBinaryOp registry (`operator/indexbinary.py:231` register_new;
+  //      all user-defined, none built in) ----
+  private[core] val boundSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** bound-op resolution consulted by kernels: name → f(va,ia,ja,vb,ib,jb) */
+  val boundIndexMult =
+    new scala.collection.concurrent.TrieMap[String,
+      (Column, Column, Column, Column, Column, Column) => Column]()
+  private val indexBinariesReg =
+    new scala.collection.concurrent.TrieMap[String, IndexBinaryOp]()
+  /** register_new: atomic — a duplicate name fails rather than silently
+    * overwriting (same contract as Types.registerRecord). */
+  def registerIndexBinary(op: IndexBinaryOp): IndexBinaryOp = {
+    require(indexBinariesReg.putIfAbsent(op.name, op).isEmpty,
+      s"IndexBinaryOp ${op.name} already registered")
+    op
+  }
+  def indexBinary(name: String): IndexBinaryOp = indexBinariesReg(name)
 
   /** full `{monoid}_{binaryop}` semiring catalog (`semiring.py:185-218`
     * builds these combinatorially; dtype validity is checked at use, as in

@@ -62,10 +62,13 @@ object Types {
     * anything but ITSELF is an error, like the reference's UDTs (no
     * auto-coercion between record dtypes). */
   def registerRecord(name: String, fields: Seq[(String, DataType)]): GrbType = {
-    require(!byName.contains(name), s"dtype $name already registered")
     val t = GrbType(name, StructType(fields.map { case (f, dt) =>
       StructField(f, dt, nullable = false) }), rank = -1, isFloat = false)
-    byName.put(name, t)
+    // atomic check-and-register: a contains/put pair on the concurrent map
+    // would let two racing registrations both pass the check and the second
+    // silently overwrite the first (ADVICE r3)
+    require(byName.putIfAbsent(name, t).isEmpty,
+      s"dtype $name already registered")
     t
   }
 

@@ -56,10 +56,24 @@ object Adjacency {
       .select(col("src"), col("deg"), col("dsts"))
   }
 
-  /** Partition + sort + persist packed rows into the iteration-ready layout. */
+  /** Partition + sort + persist packed rows into the iteration-ready layout.
+    *
+    * When the vertex universe fits 32 bits the neighbor arrays are stored as
+    * `array<int>` (round 4): the arrays are the bulk of the persisted bytes
+    * and of every iteration's scan traffic, and this box's 8+-core legs are
+    * DRAM-bandwidth-bound (BENCH/BASELINE.md) — halving array bytes buys
+    * real headroom exactly where the scaling gate is tightest. Consumers
+    * (PageRank) aggregate on the native dst type and widen to long only
+    * after the per-dst aggregation (≤|V| rows, not per-edge). `src`/`deg`
+    * stay long: they are one fixed-width column per PACKED ROW (~1/4096th
+    * of the array volume), and the score join keys on long ids. */
   def fromPacked(packed: DataFrame, numVertices: Long, numPartitions: Int,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Adjacency = {
-    val rows = packed
+    val typed =
+      if (numVertices <= Int.MaxValue)
+        packed.withColumn("dsts", col("dsts").cast("array<int>"))
+      else packed
+    val rows = typed
       .repartition(numPartitions, col("src"))
       // sort ONCE at build: the cached relation advertises this ordering, so
       // every per-iteration sort-merge join against the score vector reuses

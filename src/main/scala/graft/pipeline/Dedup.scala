@@ -132,13 +132,13 @@ object Dedup {
   def shingleId(t: Column): Column =
     tokenHash(t) * 2147483648L + tokenHash2(t)
 
-  /** 3-term Horner multiplier for combining token hashes into a shingle id
+  /** Horner multiplier for combining token hashes into a shingle id
     * (values < 2^31, K ≈ 2^20 → every intermediate product < 2^51: no
-    * overflow before the mod). */
+    * overflow before the mod, at ANY w). */
   val shingleK = 1000003L
 
-  private def horner3(a: Column, b: Column, c: Column, prime: Long): Column =
-    ((a * shingleK + b) % prime * shingleK + c) % prime
+  private def hornerW(cols: Seq[Column], prime: Long): Column =
+    cols.reduceLeft((acc, c) => (acc * shingleK + c) % prime)
 
   /** One row per w-shingle OCCURRENCE: (doc_id, shingle: 62-bit long), with
     * token hashes computed ONCE PER TOKEN (two 24-term polynomial passes)
@@ -154,7 +154,7 @@ object Dedup {
     * downstream distinct shuffles anyway; per-doc partitioning bounds skew
     * by document length. */
   def shingleIdRows(docs: DataFrame, w: Int = 3): DataFrame = {
-    require(w == 3, "the shingle combine is pinned to w=3 (the oracle SQL mirrors it)")
+    require(w >= 1, "shingle width w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       posexplode(split(trim(col("text")), " +")).as(Seq("pos", "tok")))
@@ -163,13 +163,18 @@ object Dedup {
     val hashed = toks.select(col("doc_id"), col("pos"),
       tokenHash(col("tok")).as("h1"), tokenHash2(col("tok")).as("h2"))
     val wnd = Window.partitionBy("doc_id").orderBy("pos")
-    hashed.select(col("doc_id"),
-        col("h1"), lead("h1", 1).over(wnd).as("h1b"), lead("h1", 2).over(wnd).as("h1c"),
-        col("h2"), lead("h2", 1).over(wnd).as("h2b"), lead("h2", 2).over(wnd).as("h2c"))
-      .filter(col("h1c").isNotNull) // last w-1 positions start no shingle
+    // w-1 window leads per hash family, Horner-combined (generalized from
+    // the pinned w=3 of round 3 — the public w parameter is honored again,
+    // ADVICE r3; the oracle SQL mirrors the default w=3)
+    val leadCols: Seq[Column] = (1 until w).flatMap { i =>
+      Seq(lead("h1", i).over(wnd).as(s"h1_$i"), lead("h2", i).over(wnd).as(s"h2_$i"))
+    }
+    val lastCol = if (w == 1) col("h1") else col(s"h1_${w - 1}")
+    hashed.select(col("doc_id") +: col("h1") +: col("h2") +: leadCols: _*)
+      .filter(lastCol.isNotNull) // last w-1 positions start no shingle
       .select(col("doc_id"),
-        (horner3(col("h1"), col("h1b"), col("h1c"), P) * 2147483648L +
-          horner3(col("h2"), col("h2b"), col("h2c"), P2)).as("shingle"))
+        (hornerW(col("h1") +: (1 until w).map(i => col(s"h1_$i")), P) * 2147483648L +
+          hornerW(col("h2") +: (1 until w).map(i => col(s"h2_$i")), P2)).as("shingle"))
   }
   // fixed MinHash permutation coefficients (odd multipliers)
   private val minhashCoef: Seq[(Long, Long)] = Seq(

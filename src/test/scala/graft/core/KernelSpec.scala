@@ -317,6 +317,71 @@ class KernelSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(0L -> 1.0, 2L -> 2.0)) // id 3 masked out of the input
   }
 
+  test("Vector.diag(k) builds the diagonal matrix and round-trips with " +
+    "Matrix.diag (vector.py:605, ss.build_diag core/ss/matrix.py:252)") {
+    // k = 0 / super- / sub-diagonal placements per GxB_Matrix_diag
+    assert(collectM(vecV.diag(0)) == vMap.map { case (i, x) => (i, i) -> x })
+    assert(collectM(vecV.diag(2)) == vMap.map { case (i, x) => (i, i + 2) -> x })
+    assert(collectM(vecV.diag(-2)) == vMap.map { case (i, x) => (i + 2, i) -> x })
+    // shape: (size+|k|)-square
+    assert(vecV.diag(2).shape == GrbShape(9, 9))
+    // round trip diag ∘ build_diag = identity for every k sign
+    Seq(-2L, 0L, 2L).foreach { k =>
+      assert(collectV(vecV.diag(k).diag(k)) == vMap, s"k=$k")
+    }
+  }
+
+  test("IndexBinaryOp: registered, theta-bound, used in ewise_mult and as a " +
+    "semiring multiplier (operator/indexbinary.py:231, operators.rst:225-255)") {
+    // the docs' own example: discounted_sum(x,...,y,..., theta) = (x+y)·theta
+    val ds = Ops.registerIndexBinary(IndexBinaryOp("discounted_sum",
+      (x, _, _, y, _, _, theta) => (x + y) * theta))
+    assert(Ops.indexBinary("discounted_sum") eq ds)
+    intercept[IllegalArgumentException] {
+      Ops.registerIndexBinary(IndexBinaryOp("discounted_sum",
+        (x, _, _, _, _, _, _) => x)) // duplicate names must fail, not overwrite
+    }
+    val bound = ds.bound(lit(0.5))
+    // C << A.ewise_mult(A, binop): (a+a)·0.5 = a on the intersection
+    assert(collectM(matA.ewiseMult(matA, bound)) == aMap)
+    // D << A.mxm(A, semiring(plus, binop)): ⊗ = (a+b)·0.5
+    val sr = Semiring("plus_discounted", Ops.plusMonoid, bound)
+    val got = collectM(matA.mxm(matA, sr))
+    val want = (for {
+      i <- 0L until 7; j <- 0L until 7
+      terms = (0L until 7).flatMap(k =>
+        for { a <- aMap.get((i, k)); b <- aMap.get((k, j)) } yield (a + b) * 0.5)
+      if terms.nonEmpty
+    } yield (i, j) -> terms.sum).toMap
+    assert(got == want)
+    // an INDEX-using op pins the kernels' index resolution: ⊗ evaluates with
+    // mxm coordinates (ix=i, jx=k, iy=k, jy=j), exactly the positional wiring
+    val posOp = IndexBinaryOp("ix_jy_probe",
+      (_, ix, _, _, _, jy, theta) => ix * theta + jy)
+    val boundPos = posOp.bound(lit(100.0)) // FP theta → FP64 results
+    val gotPos = collectM(matA.mxm(matA, Semiring("min_ixjy", Ops.minMonoid, boundPos)))
+    val wantPos = (for {
+      i <- 0L until 7; j <- 0L until 7
+      terms = (0L until 7).flatMap(k =>
+        for { _ <- aMap.get((i, k)); _ <- aMap.get((k, j)) } yield (i * 100 + j).toDouble)
+      if terms.nonEmpty
+    } yield (i, j) -> terms.min).toMap
+    assert(gotPos.map { case (k, v) => k -> v } == wantPos)
+    // ewise_mult with an index-using op: both sides share (i, j) keys
+    val ewPos = collectM(matA.ewiseMult(matA, boundPos))
+    assert(ewPos == aMap.map { case ((i, j), _) => (i, j) -> (i * 100 + j).toDouble })
+  }
+
+  test("compactifyPartitioned matches the global-window compactify exactly") {
+    import Extras._
+    val v = GrbVector(Seq((5L, 1.0), (17L, 2.0), (2L, 3.0), (900L, 4.0),
+      (44L, 5.0), (999L, 6.0)).toDF("id", "v"), 1000)
+    val want = collectV(v.compactify())
+    Seq(1, 4, 8, 64).foreach { b =>
+      assert(collectV(v.compactifyPartitioned(b)) == want, s"buckets=$b")
+    }
+  }
+
   test("isclose-style comparator: mxv at two partitionings agrees to 1e-6") {
     val a = matA
     val r1 = collectV(a.mxv(vecV, Ops.plusTimes))

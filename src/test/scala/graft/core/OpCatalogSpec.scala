@@ -45,8 +45,10 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
       "round" -> 1.0, "trunc" -> 0.0,
       "isnan" -> 0.0, "isinf" -> 0.0, "isfinite" -> 1.0,
       "lnot" -> 0.0 /* 0.5 casts to true */)
-    // integral-only (bnot) and struct-input complex unaries test elsewhere
-    val skipUnary = Set("bnot", "conj", "creal", "cimag", "cabs")
+    // integral-only (bnot) and struct-input complex unaries test elsewhere;
+    // the erf/gamma/frexp family has its own tolerance-matched test below
+    val skipUnary = Set("bnot", "conj", "creal", "cimag", "cabs",
+      "erf", "erfc", "lgamma", "tgamma", "frexpe", "frexpx")
     Ops.unaries.foreach { case (name, op) =>
       if (!skipUnary(name)) {
         val got = d(evalC(op(lit(x))))
@@ -160,6 +162,108 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
     assert(d(evalC(Ops.hypotOp(lit(3e-300), lit(4e-300)))) === 5e-300)
     assert(d(evalC(Ops.hypotOp(lit(0.0), lit(0.0)))) === 0.0)
     assert(d(evalC(Ops.hypotOp(lit(3.0), lit(4.0)))) === 5.0)
+  }
+
+  test("erf/erfc/lgamma/tgamma resolve with documented accuracy (base.py:25-29)") {
+    // erf/erfc: Abramowitz-Stegun 7.1.26, |abs err| ≤ 1.5e-7
+    val erfCases = Seq(
+      0.0 -> 0.0, 0.5 -> 0.5204998778130465, 1.0 -> 0.8427007929497149,
+      2.0 -> 0.9953222650189527, -1.0 -> -0.8427007929497149)
+    erfCases.foreach { case (x, want) =>
+      assert(math.abs(d(evalC(Ops.unaries("erf")(lit(x)))) - want) < 2e-7, s"erf($x)")
+      assert(math.abs(d(evalC(Ops.unaries("erfc")(lit(x)))) - (1.0 - want)) < 2e-7,
+        s"erfc($x)")
+    }
+    // erfc keeps tail precision (computed directly, not as 1−erf)
+    assert(math.abs(d(evalC(Ops.unaries("erfc")(lit(3.0)))) - 2.2090496998585445e-5)
+      < 2e-7)
+    // lgamma/tgamma: Lanczos g=7 (~1e-12); pinned against exact values
+    val gammaHalf = math.sqrt(math.Pi)
+    val lg105 = math.log((1 to 10).map(_ - 0.5).product * gammaHalf) // lnΓ(10.5)
+    Seq(5.0 -> math.log(24.0), 0.5 -> math.log(gammaHalf), 10.5 -> lg105)
+      .foreach { case (x, want) =>
+        val got = d(evalC(Ops.unaries("lgamma")(lit(x))))
+        assert(math.abs(got - want) < 1e-10, s"lgamma($x): $got vs $want")
+      }
+    Seq(5.0 -> 24.0, 0.5 -> gammaHalf, -0.5 -> -2.0 * gammaHalf, 1.0 -> 1.0)
+      .foreach { case (x, want) =>
+        val got = d(evalC(Ops.unaries("tgamma")(lit(x))))
+        assert(math.abs(got - want) < 1e-9 * math.abs(want), s"tgamma($x): $got")
+      }
+  }
+
+  test("frexpe/frexpx: exact x = m·2^e with |m| in [0.5,1) over the full range") {
+    val inputs = Seq(8.0, 0.1, -3.7, 1.0, 0.5, 0.7, 1e300, 1e-300,
+      java.lang.Double.MIN_VALUE, java.lang.Double.MAX_VALUE, -2.5e-310)
+    inputs.foreach { x =>
+      val e = evalC(Ops.unaries("frexpe")(lit(x))).asInstanceOf[Long]
+      val m = d(evalC(Ops.unaries("frexpx")(lit(x))))
+      assert(math.abs(m) >= 0.5 && math.abs(m) < 1.0, s"frexpx($x) = $m")
+      // scalb, not m·pow(2,e): pow(2,1024) alone overflows for DBL_MAX
+      assert(Math.scalb(m, e.toInt) === x, s"frexp($x) = ($m, $e)")
+    }
+    assert(evalC(Ops.unaries("frexpe")(lit(8.0))) === 4L)   // 8 = 0.5·2^4
+    assert(d(evalC(Ops.unaries("frexpx")(lit(8.0)))) === 0.5)
+    // C contract pins: 0 → (0, 0); ±inf/NaN → (x, 0)
+    assert(evalC(Ops.unaries("frexpe")(lit(0.0))) === 0L)
+    assert(d(evalC(Ops.unaries("frexpx")(lit(0.0)))) === 0.0)
+    assert(d(evalC(Ops.unaries("frexpx")(lit(Double.PositiveInfinity))))
+      === Double.PositiveInfinity)
+    assert(d(evalC(Ops.unaries("frexpx")(lit(Double.NaN)))).isNaN)
+  }
+
+  test("hypot: C99 infinity contract — hypot(±inf, y) = +inf for ANY y (ADVICE r4)") {
+    val inf = Double.PositiveInfinity
+    assert(d(evalC(Ops.hypotOp(lit(inf), lit(5.0)))) === inf)
+    assert(d(evalC(Ops.hypotOp(lit(5.0), lit(Double.NegativeInfinity)))) === inf)
+    assert(d(evalC(Ops.hypotOp(lit(Double.NegativeInfinity), lit(inf)))) === inf)
+    assert(d(evalC(Ops.hypotOp(lit(inf), lit(Double.NaN)))) === inf)
+    assert(d(evalC(Ops.hypotOp(lit(Double.NaN), lit(3.0)))).isNaN)
+  }
+
+  test("UDAF aggregates skip SQL nulls like every builtin aggregate (ADVICE r4)") {
+    val df = Seq[java.lang.Double](2.0, null, 3.0).toDF("v")
+    // product: [2.0, null, 3.0] must fold to 6.0, not 0.0 (a null used to
+    // deserialize to 0.0 through Encoders.scalaDouble)
+    assert(df.agg(Ops.timesMonoid.agg(col("v")).as("r")).collect()(0)
+      .getDouble(0) === 6.0)
+    // logaddexp: null must not count as exp(0) = 1
+    val lse = df.agg(Extras.aggregators("logaddexp")(col("v")).as("r"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(lse - math.log(math.exp(2.0) + math.exp(3.0))) < 1e-12)
+    // all-null group folds to missing, like sum/min/max
+    val nulls = Seq[java.lang.Double](null, null).toDF("v")
+    assert(nulls.agg(Ops.timesMonoid.agg(col("v")).as("r")).collect()(0).isNullAt(0))
+    assert(nulls.agg(Extras.aggregators("logaddexp")(col("v")).as("r"))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("binary catalog over the INT32/INT64/FP32/FP64 cross-product pins the " +
+    "unify lattice (test_operator_types.py:44)") {
+    import Types._
+    val dts = Seq(INT32, INT64, FP32, FP64)
+    val arith = Seq("plus" -> 10.0, "minus" -> 4.0, "times" -> 21.0,
+      "min" -> 3.0, "max" -> 7.0, "first" -> 7.0, "second" -> 3.0)
+    for (ta <- dts; tb <- dts; (opName, want) <- arith) {
+      // operands unified per the reference lattice BEFORE the op (the typed
+      // per-dtype variants of `operator/binary.py`); the result dtype must
+      // equal unify(ta, tb) — including INT32+FP32 → FP64 (an FP32 mantissa
+      // cannot hold 32-bit integers)
+      val u = unify(ta, tb)
+      val a = cast(cast(lit(7.0), ta), u)
+      val b = cast(cast(lit(3.0), tb), u)
+      val df = spark.range(1).select(Ops.binaries(opName)(a, b).as("r"))
+      assert(df.schema("r").dataType === u.spark,
+        s"$opName(${ta.name}, ${tb.name}): result dtype")
+      assert(d(df.collect()(0).get(0)) === want,
+        s"$opName(${ta.name}, ${tb.name}): value")
+    }
+    // unary family over the same 4 dtypes: dtype-preserving ops keep dtype
+    for (t <- dts; opName <- Seq("identity", "ainv", "abs")) {
+      val a = cast(lit(7.0), t)
+      val df = spark.range(1).select(Ops.unaries(opName)(a).as("r"))
+      assert(df.schema("r").dataType === t.spark, s"$opName(${t.name})")
+    }
   }
 
   test("positional semirings resolve by name and match semiring.py:185-218") {

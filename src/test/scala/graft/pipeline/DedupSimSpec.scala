@@ -30,6 +30,25 @@ class DedupSimSpec extends AnyFunSuite with SparkTest {
     assert(cand.filter(col("doc_a") === 0 && col("doc_b") === 100000L).count() === 1)
   }
 
+  test("shingleIdRows honors arbitrary w again (ADVICE r4): counts and dedup") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y")).toDF("doc_id", "text")
+    // a doc with t tokens yields t-w+1 shingle occurrences (w > t → none)
+    Seq(1, 2, 3, 4, 5).foreach { w =>
+      val rows = Dedup.shingleIdRows(docs, w)
+      val perDoc = rows.groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perDoc.getOrElse(1L, 0L) === math.max(0, 5 - w + 1), s"w=$w doc1")
+      assert(perDoc.getOrElse(3L, 0L) === math.max(0, 2 - w + 1), s"w=$w doc3")
+      // identical docs produce identical shingle id sets at every w
+      val s1 = rows.filter(col("doc_id") === 1).select("shingle").collect().map(_.getLong(0)).sorted
+      val s2 = rows.filter(col("doc_id") === 2).select("shingle").collect().map(_.getLong(0)).sorted
+      assert(s1.sameElements(s2), s"w=$w")
+    }
+    // w=2: docs 1/2 share 4 bigrams, doc 3 adds 1 → 5 distinct ids
+    val w2 = Dedup.shingleIdRows(docs, 2).select("shingle").distinct().count()
+    assert(w2 === 5)
+  }
+
   test("shingle df-cap defuses a hot-shingle candidate bomb") {
     val hot = "the quick brown fox jumps over"
     val docs = (0 until 60)
