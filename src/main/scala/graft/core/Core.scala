@@ -115,6 +115,23 @@ object Kernels {
     }
   }
 
+  /** index columns of an ewise join: (i, j) for matrices, (i, i) for
+    * vectors (the select convention) — both operands share them. */
+  private def ewiseKeys(keys: Seq[String]): (Column, Column) = keys match {
+    case Seq(s, d) => (col(s), col(d))
+    case Seq(k)    => (col(k), col(k))
+  }
+
+  /** resolve a bound IndexBinaryOp (`Ops.boundIndexMult`) to its index-aware
+    * form over the shared ewise keys; plain ops apply as-is. */
+  private def ewiseCombine(op: BinaryOp, keys: Seq[String],
+                           va: Column, vb: Column): Column = {
+    val (ki, kj) = ewiseKeys(keys)
+    Ops.boundIndexMult.get(op.name)
+      .map(f => f(va, ki, kj, vb, ki, kj))
+      .getOrElse(op(va, vb))
+  }
+
   /** ewise_add = full-outer union; overlaps combined, singletons passed
     * through UNCHANGED even for non-commutative ops
     * (`docs/user_guide/operations.rst:236-247`). Presence is tracked with
@@ -125,7 +142,7 @@ object Kernels {
     val rb = b.select(keys.map(col) :+ col(V).as("_vb") :+ lit(true).as("_pb"): _*)
     la.join(rb, keys, "full_outer")
       .select(keys.map(col) :+
-        when(col("_pa") && col("_pb"), op(col("_va"), col("_vb")))
+        when(col("_pa") && col("_pb"), ewiseCombine(op, keys, col("_va"), col("_vb")))
           .when(col("_pa"), col("_va"))
           .otherwise(col("_vb")).as(V): _*)
   }
@@ -137,15 +154,8 @@ object Kernels {
   def ewiseMultDF(a: DataFrame, b: DataFrame, keys: Seq[String], op: BinaryOp): DataFrame = {
     val la = a.select(keys.map(col) :+ col(V).as("_va"): _*)
     val rb = b.select(keys.map(col) :+ col(V).as("_vb"): _*)
-    val (ki, kj) = keys match {
-      case Seq(s, d) => (col(s), col(d))
-      case Seq(k)    => (col(k), col(k))
-    }
-    val out = Ops.boundIndexMult.get(op.name)
-      .map(f => f(col("_va"), ki, kj, col("_vb"), ki, kj))
-      .getOrElse(op(col("_va"), col("_vb")))
     la.join(rb, keys, "inner")
-      .select(keys.map(col) :+ out.as(V): _*)
+      .select(keys.map(col) :+ ewiseCombine(op, keys, col("_va"), col("_vb")).as(V): _*)
   }
 
   /** ewise_union = union with per-side fill defaults (`matrix.py:2043`) */
@@ -155,8 +165,9 @@ object Kernels {
     val rb = b.select(keys.map(col) :+ col(V).as("_vb") :+ lit(true).as("_pb"): _*)
     la.join(rb, keys, "full_outer")
       .select(keys.map(col) :+
-        op(when(col("_pa"), col("_va")).otherwise(leftDefault),
-           when(col("_pb"), col("_vb")).otherwise(rightDefault)).as(V): _*)
+        ewiseCombine(op, keys,
+          when(col("_pa"), col("_va")).otherwise(leftDefault),
+          when(col("_pb"), col("_vb")).otherwise(rightDefault)).as(V): _*)
   }
 }
 

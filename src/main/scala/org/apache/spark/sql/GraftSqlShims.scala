@@ -36,6 +36,12 @@ object GraftSqlShims {
   def cacheManagerIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 
+  /** Test hook: the AQE-final executed plan of the most recent
+    * cachedDataFrame materialization. RDD-level actions (toRdd + count) do
+    * not fire QueryExecutionListener, so plan-shape tests pinning the
+    * zero-exchange iteration loop read the plan from here instead. */
+  @volatile var lastMaterializedPlan: Option[execution.SparkPlan] = None
+
   /** Column ↔ Expression bridges for graft's custom Catalyst expressions
     * (ExpressionUtils is private[sql]). */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
@@ -103,6 +109,7 @@ object GraftSqlShims {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+    lastMaterializedPlan = Some(exec)
     val out = cdf.queryExecution.analyzed.output
     val mapping = exec.output.zip(out).toMap
     val outSet = AttributeSet(out)

@@ -370,6 +370,11 @@ class KernelSpec extends AnyFunSuite with SparkTest {
     // ewise_mult with an index-using op: both sides share (i, j) keys
     val ewPos = collectM(matA.ewiseMult(matA, boundPos))
     assert(ewPos == aMap.map { case ((i, j), _) => (i, j) -> (i * 100 + j).toDouble })
+    // ewise_add: overlaps combine index-aware; singletons pass through
+    val b = GrbMatrix.fromCoo(spark, Seq((0L, 1L, 5.0), (6L, 6L, 2.0)), GrbShape(7, 7))
+    val ea = collectM(matA.ewiseAdd(b, boundPos))
+    assert(ea((0L, 1L)) == 1.0) // overlap at (0,1) → 0·100 + 1
+    assert(ea((6L, 6L)) == 2.0 && ea((3L, 0L)) == 3.0) // singletons unchanged
   }
 
   test("compactifyPartitioned matches the global-window compactify exactly") {
