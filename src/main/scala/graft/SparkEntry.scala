@@ -517,6 +517,8 @@ object SparkEntry {
       Similarity.annTopKAdaptive(t(s, d, "embeddings"), k = 10, targetOcc = 64)),
     "embedding_ann_multiprobe" -> ((s, d) =>
       Similarity.annTopKMultiProbe(t(s, d, "embeddings"), k = 10, targetOcc = 64)),
+    "embedding_ann_ivf" -> ((s, d) =>
+      Similarity.annTopKIvf(t(s, d, "embeddings"), nlist = 16, nprobe = 2, k = 10)),
     "media_meta" -> ((s, d) =>
       Media.metadata(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -991,6 +993,33 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
          |  FROM sims) WHERE rank <= 10""".stripMargin,
+
+    "embedding_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS list_id, emb AS cent FROM e WHERE vec_id < 16),
+        |r AS (SELECT e.vec_id, c.list_id,
+        |        round(list_dot_product(e.emb, c.cent) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) *
+        |           sqrt(list_dot_product(c.cent, c.cent))), 6) AS csim
+        |      FROM e CROSS JOIN c),
+        |p AS (SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY csim DESC, list_id) AS rn FROM r),
+        |assign AS (SELECT list_id, vec_id AS cand_id FROM p WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, list_id FROM p WHERE rn <= 2),
+        |sims AS (
+        |  SELECT pr.query_id, a.cand_id,
+        |    round(list_dot_product(q.emb, ce.emb) /
+        |      (sqrt(list_dot_product(q.emb, q.emb)) *
+        |       sqrt(list_dot_product(ce.emb, ce.emb))), 6) AS sim
+        |  FROM probes pr JOIN assign a ON a.list_id = pr.list_id
+        |  JOIN e q ON q.vec_id = pr.query_id
+        |  JOIN e ce ON ce.vec_id = a.cand_id
+        |  WHERE a.cand_id <> pr.query_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        |  SELECT query_id, cand_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 10""".stripMargin,
 
     "media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -114,6 +114,54 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN (inverted-file index, the other classic scale path
+    * besides hashing): a coarse quantizer of `nlist` centroids partitions
+    * the corpus into inverted lists (each vector is ASSIGNED to its nearest
+    * centroid); a query probes only its `nprobe` nearest centroids' lists
+    * and ranks exact cosine within them — candidate volume is explicitly
+    * ~nprobe/nlist of the corpus, and recall degrades with distance to a
+    * centroid-cell boundary rather than per-hyperplane (complementary
+    * failure mode to LSH).
+    *
+    * The quantizer here is DETERMINISTIC — the embeddings of the `nlist`
+    * lowest vec_ids — so the DuckDB oracle reproduces the index exactly; a
+    * k-means-trained centroid table slots into the same plan unchanged
+    * (sampling the corpus is the standard quantizer bootstrap).
+    *
+    * Plan shape at scale: the centroid table is broadcast (nlist rows);
+    * assignment + probe selection is ONE pass over the corpus (a skinny
+    * (vec_id, list_id, sim) window — embeddings are NOT carried through
+    * the shuffle, they re-join by id); candidates meet through the
+    * list_id equi-join only. nprobe = nlist degenerates to exhaustive
+    * search (the structural correctness pin in DedupSimSpec).
+    * Output: (query_id, cand_id, sim, rank) like annTopK. */
+  def annTopKIvf(emb: DataFrame, nlist: Int = 16, nprobe: Int = 2,
+                 k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("list_id"), col("embedding").as("cent"))
+    // skinny centroid ranking: (vec_id, list_id, csim) only
+    val ranked = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("list_id"),
+        round(cosine(col("embedding"), col("cent")), 6).as("csim"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    val pr = ranked.withColumn("_rn", row_number().over(wAssign))
+    val assign = pr.filter(col("_rn") === 1)
+      .select(col("list_id"), col("vec_id").as("cand_id"))
+    val probes = pr.filter(col("_rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("list_id"))
+    // each (query, cand) pair arises at most once: a candidate lives in
+    // exactly ONE inverted list — no dedup needed
+    val sims = probes.join(assign, "list_id")
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: exact cosine, but only within LSH buckets. */
   def annTopK(emb: DataFrame, nBits: Int = 8, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -75,6 +75,31 @@ object KernelPropertySpec extends Properties("Kernels") {
         collect(toM(a).assign(rm, cm, bm, accum = Some(Ops.plus))) == wantAccum
     }
 
+  property("Vector.diag(k).diag(k) round-trips for any k in [-6, 6]") =
+    forAll(Gen.mapOf(for {
+      i <- Gen.chooseNum(0L, 5L); v <- Gen.chooseNum(-4, 4)
+    } yield (i, v.toDouble)), Gen.chooseNum(-6L, 6L)) { (m, k) =>
+      val v = GrbVector.fromPairs(spark, m.toSeq, 6)
+      v.diag(k).diag(k).df.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap == m
+    }
+
+  property("frexpe/frexpx: exact reconstruction with |m| in [0.5,1)") = {
+    import org.apache.spark.sql.functions.lit
+    // exercise the full double range incl. subnormals and near-power-of-2
+    val genD = Gen.oneOf(
+      Gen.chooseNum(-1e6, 1e6).suchThat(_ != 0.0),
+      Gen.chooseNum(-300, 300).map(e => math.pow(2.0, e)),
+      Gen.chooseNum(1, 52).map(b => java.lang.Double.MIN_VALUE * (1L << b)))
+    forAll(genD) { x =>
+      val r = spark.range(1).select(
+        Ops.unaries("frexpx")(lit(x)).as("m"),
+        Ops.unaries("frexpe")(lit(x)).as("e")).collect()(0)
+      val (m, e) = (r.getDouble(0), r.getLong(1))
+      math.abs(m) >= 0.5 && math.abs(m) < 1.0 && Math.scalb(m, e.toInt) == x
+    }
+  }
+
   property("extract-of-assign returns the assigned block") =
     forAll(genCoo) { b0 =>
       import spark.implicits._

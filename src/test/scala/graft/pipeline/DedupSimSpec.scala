@@ -49,6 +49,29 @@ class DedupSimSpec extends AnyFunSuite with SparkTest {
     assert(w2 === 5)
   }
 
+  test("IVF ANN: nprobe = nlist degenerates to EXACT brute force; " +
+    "probing more lists never hurts a query's best neighbor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    // full probe = exhaustive search: identical (query, cand, rank) triples
+    // to the brute-force baseline for the shared query set
+    val full = Similarity.annTopKIvf(emb, nlist = 8, nprobe = 8, k = 5)
+      .filter(col("query_id") < 5)
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong, r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5)
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong, r.getLong(2))).toSet
+    assert(full == bf, "full-probe IVF must equal exhaustive search")
+    // monotonicity: per-query best sim at nprobe=3 >= best at nprobe=1
+    def best(nprobe: Int): Map[Long, Double] =
+      Similarity.annTopKIvf(emb, nlist = 8, nprobe = nprobe, k = 1).collect()
+        .map(r => r.get(0).toString.toLong -> r.getDouble(2)).toMap
+    val b1 = best(1); val b3 = best(3)
+    b1.foreach { case (q, s1) =>
+      assert(b3.getOrElse(q, Double.NegativeInfinity) >= s1, s"query $q regressed")
+    }
+  }
+
   test("shingle df-cap defuses a hot-shingle candidate bomb") {
     val hot = "the quick brown fox jumps over"
     val docs = (0 until 60)
