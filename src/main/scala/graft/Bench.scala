@@ -94,9 +94,16 @@ object Bench {
     val edges = Pages.edges(pages, ids)
     val adj = Adjacency.build(edges, nPages, cpus.toInt)
     val tBuild = (System.nanoTime() - tg0) / 1e9
-    val tp0 = System.nanoTime()
-    val pr = PageRank.run(spark, adj, damping = 0.85, tol = 1e-6, maxIter = 50)
-    val tPr = (System.nanoTime() - tp0) / 1e9
+    // min of 2 timed runs (the first doubles as the other's warm-up): the
+    // headline was the ONE remaining single-shot timing in Bench, and it
+    // runs last — a host-noise burst in that window halved the recorded
+    // r4-rehearsal number (12.8s vs 6.1s for identical code). Same
+    // min-of-trials hygiene as the scaling protocol.
+    val (tPr, pr) = (1 to 2).map { _ =>
+      val tp0 = System.nanoTime()
+      val r = PageRank.run(spark, adj, damping = 0.85, tol = 1e-6, maxIter = 50)
+      ((System.nanoTime() - tp0) / 1e9, r)
+    }.minBy(_._1)
     val edgesPerSec = pr.edgesTraversed / tPr
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

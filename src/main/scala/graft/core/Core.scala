@@ -412,6 +412,12 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     if (r.isNullAt(0)) None else Some(r.get(0))
   }
 
+  /** reduce with `allow_empty=False` (`matrix.py:2712`): an empty matrix
+    * folds to the monoid identity instead of missing — matrix twin of
+    * GrbVector.reduceOrIdentity. */
+  def reduceScalarOrIdentity(m: Monoid): Any =
+    df.agg(coalesce(m.agg(col(V)), m.identity).as("r")).collect()(0).get(0)
+
   /** mxv over a semiring: w(i) = ⊕_j A(i,j) ⊗ v(j) (`matrix.py:2203`) —
     * THE gather kernel. Vector side broadcast when small enough is left to
     * AQE/Catalyst; algorithm drivers use the pre-bucketed adjacency layout

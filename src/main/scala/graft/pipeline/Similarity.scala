@@ -129,12 +129,15 @@ object Similarity {
     * (sampling the corpus is the standard quantizer bootstrap).
     *
     * Plan shape at scale: the centroid table is broadcast (nlist rows);
-    * assignment + probe selection is ONE pass over the corpus (a skinny
-    * (vec_id, list_id, sim) window — embeddings are NOT carried through
-    * the shuffle, they re-join by id); candidates meet through the
-    * list_id equi-join only. nprobe = nlist degenerates to exhaustive
-    * search (the structural correctness pin in DedupSimSpec).
-    * Output: (query_id, cand_id, sim, rank) like annTopK. */
+    * assignment/probe selection is a skinny (vec_id, list_id, csim) window
+    * — embeddings are NOT carried through the shuffle, they re-join by id;
+    * candidates meet through the list_id equi-join only. The quantizer
+    * subtree feeds BOTH sides of the probe⋈assign join and is therefore
+    * computed twice (Spark self-joins recompute; same shape as annTopK's
+    * bucket self-join) — ~2·nlist dots per vector, cheap next to the
+    * candidate ranking; persist it if nlist is very large. nprobe = nlist
+    * degenerates to exhaustive search (the structural correctness pin in
+    * DedupSimSpec). Output: (query_id, cand_id, sim, rank) like annTopK. */
   def annTopKIvf(emb: DataFrame, nlist: Int = 16, nprobe: Int = 2,
                  k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

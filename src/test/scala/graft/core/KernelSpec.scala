@@ -377,6 +377,15 @@ class KernelSpec extends AnyFunSuite with SparkTest {
     assert(ea((6L, 6L)) == 2.0 && ea((3L, 0L)) == 3.0) // singletons unchanged
   }
 
+  test("matrix reduce with allow_empty=False folds empty to the identity " +
+    "(matrix.py:2712)") {
+    val empty = GrbMatrix.fromCoo(spark, Seq.empty, GrbShape(7, 7))
+    assert(empty.reduceScalar(Ops.plusMonoid).isEmpty)
+    assert(empty.reduceScalarOrIdentity(Ops.plusMonoid) == 0.0)
+    assert(empty.reduceScalarOrIdentity(Ops.timesMonoid) == 1.0)
+    assert(matA.reduceScalarOrIdentity(Ops.plusMonoid) == aMap.values.sum)
+  }
+
   test("compactifyPartitioned matches the global-window compactify exactly") {
     import Extras._
     val v = GrbVector(Seq((5L, 1.0), (17L, 2.0), (2L, 3.0), (900L, 4.0),
