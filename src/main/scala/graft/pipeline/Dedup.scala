@@ -22,6 +22,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"))
 
+  /** STREAMING exact dedup (the ingest-side twin of `exact`): emit ONE row
+    * per content fingerprint — the first-arriving across micro-batches
+    * (within a single batch the surviving representative is arbitrary, like
+    * batch dropDuplicates; `exact` is the deterministic min-id batch twin) —
+    * with per-key state evicted once
+    * the key's event time falls behind the watermark —
+    * `dropDuplicatesWithinWatermark`, so state is bounded by
+    * rate × horizon instead of growing with the corpus like a global
+    * streaming dropDuplicates would. Re-occurrences separated by MORE than
+    * the horizon deduplicate per-horizon (the standard streaming-ingest
+    * contract; a periodic batch `exact` pass collapses cross-horizon dups).
+    * Input needs (ts timestamp, text, ...); all input columns pass through
+    * for the kept representative. */
+  def streamDedupFirstSeen(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("text_md5", md5(col("text").cast("binary")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** word w-shingles (w=3), one row per occurrence: (doc_id, shingle) */
   def shinglesRaw(docs: DataFrame, w: Int = 3): DataFrame = {
     val toks = split(trim(col("text")), " +")

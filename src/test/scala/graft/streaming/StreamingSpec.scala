@@ -37,6 +37,42 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       (3L, 7 * m, 7 * m, 1L, 9.0)))
   }
 
+  test("streaming dedup keeps the first-seen row per fingerprint with " +
+    "watermark-bounded state (dropDuplicatesWithinWatermark)") {
+    // Spark 4 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val docs = input.toDF().toDF("doc_id", "ts_ms", "text")
+      .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"), col("text"))
+    val q = graft.pipeline.Dedup.streamDedupFirstSeen(docs)
+      .writeStream.format("memory").queryName("stream_dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 0L, "aaa"), (2L, 1000L, "bbb"), (3L, 2000L, "aaa"))
+      q.processAllAvailable()
+      // a later duplicate in a NEW micro-batch is still dropped (keyed state)
+      input.addData((4L, 3000L, "aaa"), (5L, 4000L, "ccc"))
+      q.processAllAvailable()
+      val kept = spark.table("stream_dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // exactly ONE representative of the "aaa" family (which of docs 1/3
+      // survives within the first batch is arbitrary, like batch
+      // dropDuplicates); doc 4's later-batch duplicate MUST be dropped by
+      // the keyed state, and the unique texts must both survive
+      assert(kept.size == 3 && kept.contains(2L) && kept.contains(5L) &&
+        kept.intersect(Set(1L, 3L)).size == 1 && !kept.contains(4L), s"kept $kept")
+      // the plan carries the watermark-evicting dedup operator, not a global
+      // unbounded one
+      val plan = q.lastProgress
+      assert(plan == null || plan.stateOperators.length >= 0) // progress sanity
+    } finally q.stop()
+    val analyzed = graft.pipeline.Dedup.streamDedupFirstSeen(docs)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("dropDuplicatesWithinWatermark") ||
+      analyzed.toLowerCase.contains("deduplicatewithinwatermark"), analyzed)
+  }
+
   test("session_window plan has no per-user buffering operator") {
     val events = mkEvents(Seq((1L, 0L, 1.0)))
     val plan = EventSessions.sessionize(spark, events)
