@@ -311,6 +311,51 @@ object SparkEntry {
 
     "diag_extract" -> ((s, d) => matM(s, d).diag(1).df),
 
+    "sort_permutation" -> ((s, d) => {
+      // ss.sort returns (values, PERMUTATION) — both halves joined on the
+      // dense position so the oracle pins them together (`ss/matrix.py:3983`)
+      val (vals, perm) = matS(s, d).sortRowwise(asc = true)
+      vals.df.select(col("src"), col("dst").as("p"), col("v"))
+        .join(perm.df.select(col("src"), col("dst").as("p"), col("v").as("perm")),
+          Seq("src", "p"))
+    }),
+
+    "mask_and" -> ((s, d) => {
+      // mask combination __and__ (`mask.py:86`): keys present in BOTH masks
+      val a = GrbMask(vec1(s, d).df.select("id"))
+      val b = GrbMask(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("id")))
+      vec2(s, d).dup(GrbMask.and(a, b, Seq("id"))).df
+    }),
+
+    "split_concat" -> ((s, d) => {
+      // ss.split → ss.concat round trip reassembles the matrix exactly
+      // (`core/ss/matrix.py:280`, `ss/_core.py:72`); 49 does not divide 97,
+      // so ragged edge tiles are exercised
+      val tiles = matS(s, d).split(49, 49)
+      Extras.concat(tiles, 49, 49).df
+    }),
+
+    "setdiag_vals" -> ((s, d) => {
+      // FULL setdiag(values, k, accum) (`matrix.py:2905`): vector onto the
+      // k=1 diagonal, overlaps accumulated by plus, off-diagonal untouched
+      val u = GrbVector(t(s, d, "nation")
+        .select((col("n_nationkey") % 97).cast("long").as("id"),
+          col("n_nationkey").cast("double").as("v"))
+        .groupBy("id").agg(max("v").as("v")), 97)
+      matS(s, d).setdiag(u, 1L, None, Some(Ops.plus)).df
+    }),
+
+    "extract_input_mask" -> ((s, d) => {
+      // input_mask on extract (`base.py:356-362`): the mask pre-filters the
+      // INPUT before the index remap
+      val im = GrbMask(t(s, d, "customer").filter(col("c_custkey") % 6 === 0)
+        .select(col("c_custkey").as("id")))
+      val remap = t(s, d, "customer").select(col("c_custkey").as("old"),
+        (col("c_custkey") * 2).as("new"))
+      vec1(s, d).extract(remap, 1L << 41, inputMask = Some(im)).df
+    }),
+
     "diag_build" -> ((s, d) =>
       // vector → diagonal matrix (`vector.py:605` Vector.diag / ss.build_diag,
       // VERDICT r3 item 3): v[i] lands at (i, i+2)
@@ -704,6 +749,34 @@ object SparkEntry {
     "diag_build" ->
       ("SELECT c_custkey AS src, c_custkey + 2 AS dst, c_acctbal AS v " +
         "FROM customer WHERE c_custkey % 3 = 0"),
+
+    "sort_permutation" ->
+      s"""SELECT src,
+         |  CAST(row_number() OVER (PARTITION BY src ORDER BY v, dst) - 1
+         |    AS BIGINT) AS p,
+         |  v, CAST(dst AS BIGINT) AS perm
+         |FROM ($sqlS)""".stripMargin,
+
+    "mask_and" ->
+      s"""SELECT id, v FROM ($sqlV2)
+         |WHERE id IN (SELECT id FROM ($sqlV1))
+         |  AND id IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)"""
+        .stripMargin,
+
+    "split_concat" -> s"SELECT src, dst, v FROM ($sqlS)",
+
+    "setdiag_vals" ->
+      s"""WITH m AS ($sqlS),
+         |u AS (SELECT CAST(n_nationkey % 97 AS BIGINT) AS id,
+         |        max(CAST(n_nationkey AS DOUBLE)) AS v FROM nation GROUP BY 1),
+         |dg AS (SELECT id AS src, id + 1 AS dst, v FROM u WHERE id + 1 < 97)
+         |SELECT coalesce(m.src, dg.src) AS src, coalesce(m.dst, dg.dst) AS dst,
+         |  CASE WHEN m.src IS NOT NULL AND dg.src IS NOT NULL THEN m.v + dg.v
+         |       WHEN m.src IS NOT NULL THEN m.v ELSE dg.v END AS v
+         |FROM m FULL JOIN dg ON m.src = dg.src AND m.dst = dg.dst""".stripMargin,
+
+    "extract_input_mask" ->
+      s"SELECT 2 * id AS id, v FROM ($sqlV1) WHERE id % 6 = 0",
 
     "indexbinary_ewise" ->
       s"""SELECT a.id AS id, round((a.v + b.v) * 0.5 + a.id, 4) AS v
