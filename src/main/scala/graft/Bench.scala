@@ -83,11 +83,16 @@ object Bench {
     }
 
     // headline: PageRank throughput on the synthetic web graph. Sized from
-    // the PARSED scale factor (SparkEntry.sfOf) — not substring sniffing:
-    // "sf0.12".contains("sf0.1") made the old chain ordering-fragile
-    // (ADVICE r2 / VERDICT r3 item 3).
-    val sf = SparkEntry.sfOf(sfDir)
-    val nPages = if (sf >= 0.1) 200000L else if (sf >= 0.01) 50000L else 10000L
+    // the PARSED scale factor — not substring sniffing: "sf0.12".contains(
+    // "sf0.1") made the old chain ordering-fragile (ADVICE r2 / VERDICT r3
+    // item 3). A dir with NO sf token keeps the historical smallest size
+    // (sfOf's 0.01 correctness default would silently 5× the headline
+    // workload there and break cross-round comparability).
+    val nPages = SparkEntry.sfOfOpt(sfDir) match {
+      case Some(sf) if sf >= 0.1  => 200000L
+      case Some(sf) if sf >= 0.01 => 50000L
+      case _                      => 10000L
+    }
     val tg0 = System.nanoTime()
     val pages = Pages.synthesize(spark, nPages)
     val ids = Pages.idMap(pages)

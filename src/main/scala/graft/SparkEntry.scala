@@ -37,9 +37,10 @@ object SparkEntry {
     * those constants; above that the vertex universe scales ~√(rows) with
     * the data so average degree — and therefore the benched plans — stays
     * realistic instead of saturating to a near-complete graph. */
-  private[graft] def sfOf(dir: String): Double =
+  private[graft] def sfOfOpt(dir: String): Option[Double] =
     "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(dir)
-      .map(_.group(1).toDouble).getOrElse(0.01)
+      .map(_.group(1).toDouble)
+  private[graft] def sfOf(dir: String): Double = sfOfOpt(dir).getOrElse(0.01)
   private def scaledMod(dir: String): Long = {
     val sf = sfOf(dir)
     // 9973 at sf0.1 (the round-2 calibration); lineitem rows grow ~linearly

@@ -115,19 +115,21 @@ object Kernels {
     }
   }
 
-  /** index columns of an ewise join: (i, j) for matrices, (i, i) for
-    * vectors (the select convention) — both operands share them. */
+  /** index columns of an ewise join: (i, j) for matrices, (i, 0) for
+    * vectors — a GraphBLAS vector is an n×1 column, the SAME convention the
+    * positional/index-binary forms use in mxv/vxm — shared by both operands. */
   private def ewiseKeys(keys: Seq[String]): (Column, Column) = keys match {
     case Seq(s, d) => (col(s), col(d))
-    case Seq(k)    => (col(k), col(k))
+    case Seq(k)    => (col(k), lit(0L))
   }
 
-  /** resolve a bound IndexBinaryOp (`Ops.boundIndexMult`) to its index-aware
-    * form over the shared ewise keys; plain ops apply as-is. */
+  /** resolve a bound IndexBinaryOp to its index-aware form (carried on the
+    * op, `BinaryOp.indexForm`) over the shared ewise keys; plain ops apply
+    * as-is. */
   private def ewiseCombine(op: BinaryOp, keys: Seq[String],
                            va: Column, vb: Column): Column = {
     val (ki, kj) = ewiseKeys(keys)
-    Ops.boundIndexMult.get(op.name)
+    op.indexForm
       .map(f => f(va, ki, kj, vb, ki, kj))
       .getOrElse(op(va, vb))
   }
@@ -232,7 +234,7 @@ final case class GrbVector(df: DataFrame, size: Long) {
     val left = df.select(col(ID).as("_i"), col(V).as("_vv"))
     val multCol = Ops.positionalMult.get(s.mult.name)
       .map(f => f(col("_i"), lit(0L), col("_i"), col(DST)))
-      .orElse(Ops.boundIndexMult.get(s.mult.name)
+      .orElse(s.mult.indexForm
         .map(f => f(col("_vv"), col("_i"), lit(0L), col(V), col("_i"), col(DST))))
       .getOrElse(s.mult(col("_vv"), col(V)))
     var prod = left.join(a.df, col("_i") === a.df(SRC))
@@ -432,7 +434,7 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     val right = v.df.select(col(ID).as("_j"), col(V).as("_vv"))
     val multCol = Ops.positionalMult.get(s.mult.name)
       .map(f => f(col(SRC), col("_j"), col("_j"), lit(0L)))
-      .orElse(Ops.boundIndexMult.get(s.mult.name)
+      .orElse(s.mult.indexForm
         .map(f => f(col(V), col(SRC), col("_j"), col("_vv"), col("_j"), lit(0L))))
       .getOrElse(s.mult(col(V), col("_vv")))
     var prod = df.join(right, col(DST) === col("_j"))
@@ -451,7 +453,7 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     val r = other.df.select(col(SRC).as("_k2"), col(DST).as("_j"), col(V).as("_vb"))
     val multCol = Ops.positionalMult.get(s.mult.name)
       .map(f => f(col("_i"), col("_k"), col("_k"), col("_j")))
-      .orElse(Ops.boundIndexMult.get(s.mult.name)
+      .orElse(s.mult.indexForm
         .map(f => f(col("_va"), col("_i"), col("_k"), col("_vb"), col("_k"), col("_j"))))
       .getOrElse(s.mult(col("_va"), col("_vb")))
     var prod = l.join(r, col("_k") === col("_k2"))

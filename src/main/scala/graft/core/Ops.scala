@@ -17,7 +17,15 @@ final case class UnaryOp(name: String, f: Column => Column) {
   def apply(c: Column): Column = f(c)
 }
 
-final case class BinaryOp(name: String, f: (Column, Column) => Column) {
+/** `indexForm`, when present, is the index-aware 6-argument evaluation of a
+  * theta-bound IndexBinaryOp (`IndexBinaryOp.bound`): kernels prefer it over
+  * the plain (a, b) form, passing their join/output key columns. Carried ON
+  * the op (not in a global registry) so bound ops are plain garbage-collected
+  * values with no name-collision or unbounded-registry concerns. */
+final case class BinaryOp(
+    name: String, f: (Column, Column) => Column,
+    indexForm: Option[(Column, Column, Column, Column, Column, Column) => Column]
+      = None) {
   def apply(a: Column, b: Column): Column = f(a, b)
 }
 
@@ -55,23 +63,22 @@ final case class IndexUnaryOp(name: String, f: (Column, Column, Column, Column) 
   * (`Semiring._build_from_bound_indexbinary`, `semiring.py:277`).
   *
   * In our join-form kernels the four index columns are the join/output keys,
-  * so index access is free: kernels resolve the full 6-index form through
-  * `Ops.boundIndexMult` by the bound op's name — the same hook positional
-  * binaries use. Vector operands take (i, 0) coordinates (an n×1 column),
-  * matching the positional-semiring convention. */
+  * so index access is free: kernels evaluate the bound op's `indexForm`
+  * (carried on the BinaryOp) with their key columns — the same wiring
+  * positional binaries use. Vector operands take (i, 0) coordinates (an n×1
+  * column), matching the positional-semiring convention, in EVERY kernel —
+  * ewise and matvec alike. */
 final case class IndexBinaryOp(
     name: String,
     f: (Column, Column, Column, Column, Column, Column, Column) => Column) {
-  /** Bind theta → a named BinaryOp. Kernels (ewise_mult/mxm/mxv/vxm)
-    * resolve the registered index-aware form; the plain (a, b) application
-    * evaluates with NULL indices and is only meaningful for value-only
-    * functions. */
+  /** Bind theta → a BinaryOp carrying the index-aware form. Kernels
+    * (ewise_mult/add/union, mxm/mxv/vxm) evaluate `indexForm` with real key
+    * columns; the plain (a, b) application evaluates with NULL indices and
+    * is only meaningful for value-only functions. */
   def bound(theta: Column): BinaryOp = {
-    val bname = s"$name#${Ops.boundSeq.incrementAndGet()}"
-    Ops.boundIndexMult.put(bname,
-      (va, ia, ja, vb, ib, jb) => f(va, ia, ja, vb, ib, jb, theta))
     val nul = lit(null).cast("long")
-    BinaryOp(bname, (a, b) => f(a, nul, nul, b, nul, nul, theta))
+    BinaryOp(s"$name#bound", (a, b) => f(a, nul, nul, b, nul, nul, theta),
+      indexForm = Some((va, ia, ja, vb, ib, jb) => f(va, ia, ja, vb, ib, jb, theta)))
   }
 }
 
@@ -418,11 +425,6 @@ object Ops {
 
   // ---- IndexBinaryOp registry (`operator/indexbinary.py:231` register_new;
   //      all user-defined, none built in) ----
-  private[core] val boundSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-  /** bound-op resolution consulted by kernels: name → f(va,ia,ja,vb,ib,jb) */
-  val boundIndexMult =
-    new scala.collection.concurrent.TrieMap[String,
-      (Column, Column, Column, Column, Column, Column) => Column]()
   private val indexBinariesReg =
     new scala.collection.concurrent.TrieMap[String, IndexBinaryOp]()
   /** register_new: atomic — a duplicate name fails rather than silently

@@ -63,10 +63,12 @@ object Adjacency {
     * and of every iteration's scan traffic, and this box's 8+-core legs are
     * DRAM-bandwidth-bound (BENCH/BASELINE.md) — halving array bytes buys
     * real headroom exactly where the scaling gate is tightest. Consumers
-    * (PageRank) aggregate on the native dst type and widen to long only
-    * after the per-dst aggregation (≤|V| rows, not per-edge). `src`/`deg`
-    * stay long: they are one fixed-width column per PACKED ROW (~1/4096th
-    * of the array volume), and the score join keys on long ids. */
+    * (PageRank) widen the neighbor id back to long right after the explode
+    * (a register-width cast per edge row), keeping every aggregation/join
+    * key long so the zero-exchange loop plan is unchanged — the win is the
+    * persisted bytes and the per-iteration array SCAN, not the shuffle key
+    * width. `src`/`deg` stay long: one fixed-width column per PACKED ROW
+    * (~1/4096th of the array volume), and the score join keys on long ids. */
   def fromPacked(packed: DataFrame, numVertices: Long, numPartitions: Int,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Adjacency = {
     val typed =

@@ -81,6 +81,7 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     val key = "spark.sql.adaptive.coalescePartitions.enabled"
     val old = spark.conf.get(key)
     spark.conf.set(key, "false")
+    GraftSqlShims.captureMaterializedPlans = true
     try {
       val e = (0 until 400).map(i => ((i % 57).toLong, ((i * 13 + 5) % 57).toLong))
         .filter { case (s, d) => s != d }.toDF("src", "dst").distinct()
@@ -105,7 +106,11 @@ class PlanSpec extends AnyFunSuite with SparkTest {
           nodes(s).exists(_.isInstanceOf[InMemoryTableScanExec]))
         assert(!adjResort, s"adjacency re-sorted per iteration:\n$last")
       } finally adj.unpersist()
-    } finally spark.conf.set(key, old)
+    } finally {
+      GraftSqlShims.captureMaterializedPlans = false
+      GraftSqlShims.lastMaterializedPlan = None
+      spark.conf.set(key, old)
+    }
   }
 
   test("ewise filters push below the join (predicate pushdown intact)") {

@@ -62,10 +62,11 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       // the keyed state, and the unique texts must both survive
       assert(kept.size == 3 && kept.contains(2L) && kept.contains(5L) &&
         kept.intersect(Set(1L, 3L)).size == 1 && !kept.contains(4L), s"kept $kept")
-      // the plan carries the watermark-evicting dedup operator, not a global
-      // unbounded one
-      val plan = q.lastProgress
-      assert(plan == null || plan.stateOperators.length >= 0) // progress sanity
+      // the streaming query ran with exactly one stateful dedup operator
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.length == 1 &&
+        prog.stateOperators(0).operatorName.toLowerCase.contains("dedup"),
+        s"state operators: ${if (prog == null) "none" else prog.stateOperators.map(_.operatorName).mkString(",")}")
     } finally q.stop()
     val analyzed = graft.pipeline.Dedup.streamDedupFirstSeen(docs)
       .queryExecution.analyzed.toString
