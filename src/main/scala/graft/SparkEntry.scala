@@ -312,6 +312,22 @@ object SparkEntry {
 
     "diag_extract" -> ((s, d) => matM(s, d).diag(1).df),
 
+    "apply_indexop" -> ((s, d) =>
+      // apply(indexunaryop, thunk) by NAME from the catalog
+      // (`GrB_Matrix_apply_IndexOp_*`, `operator/indexunary.py:94`):
+      // rowindex(thunk=10) → value becomes i + 10
+      matS(s, d).applyIndexOp(Ops.indexUnaries("rowindex"), lit(10L)).df),
+
+    "reposition_mat" -> ((s, d) =>
+      // matrix reposition (`matrix.py:2764`): shift both indices, drop
+      // out-of-range — the 2-D twin of reposition_vec
+      matS(s, d).reposition(3, -2).df),
+
+    "reshape_vec" -> ((s, d) =>
+      // ss.reshape 97×97 → 9409×1 (`core/ss/matrix.py:3732`): row-major
+      // relinearization, exercised to a single column
+      Extras.MatrixExtras(matS(s, d)).reshape(9409, 1).df),
+
     "sort_permutation" -> ((s, d) => {
       // ss.sort returns (values, PERMUTATION) — both halves joined on the
       // dense position so the oracle pins them together (`ss/matrix.py:3983`)
@@ -750,6 +766,17 @@ object SparkEntry {
     "diag_build" ->
       ("SELECT c_custkey AS src, c_custkey + 2 AS dst, c_acctbal AS v " +
         "FROM customer WHERE c_custkey % 3 = 0"),
+
+    "apply_indexop" ->
+      s"SELECT src, dst, CAST(src + 10 AS BIGINT) AS v FROM ($sqlS)",
+
+    "reposition_mat" ->
+      s"""SELECT src + 3 AS src, dst - 2 AS dst, v FROM ($sqlS)
+         |WHERE src + 3 >= 0 AND src + 3 < 97 AND dst - 2 >= 0 AND dst - 2 < 97"""
+        .stripMargin,
+
+    "reshape_vec" ->
+      s"SELECT src * 97 + dst AS src, CAST(0 AS BIGINT) AS dst, v FROM ($sqlS)",
 
     "sort_permutation" ->
       s"""SELECT src,
