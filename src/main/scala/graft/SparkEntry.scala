@@ -8,6 +8,7 @@ import graft.graph.Adjacency
 import graft.algos._
 import graft.pipeline.{Dedup, Media, Similarity, TextOps}
 import graft.ingest.Pages
+import graft.runtime.IterationCheckpointer
 
 /** Driver contract (see SURVEY.md §7): one entry per implemented operator,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -225,6 +226,23 @@ object SparkEntry {
         .scores.select(col("id"), round(col("v"), 9).as("v"))
     }),
 
+    "pagerank_resume" -> ((s, d) => {
+      // north_rule resumability as an ORACLE row (not just the sbt resume
+      // test): run 3 checkpointed iterations, then a SECOND run picks the
+      // latest manifest up and carries the recurrence to 5 — the result must
+      // hash-match the straight-through 5-iteration unrolled oracle, proving
+      // the parquet+manifest snapshot loses nothing (state round-trips FP64
+      // bit-exact) and the resumed loop is the same recurrence.
+      val ck = java.nio.file.Files.createTempDirectory("graft-resume").toString
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      val c = new IterationCheckpointer(ck)
+      PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 3,
+        checkpointer = Some(c))
+      PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 5,
+        checkpointer = Some(c))
+        .scores.select(col("id"), round(col("v"), 9).as("v"))
+    }),
+
     "bfs_parents" -> ((s, d) =>
       BFS.parents(s, edgesG(s, d), 0, maxDepth = 15)),
 
@@ -351,6 +369,40 @@ object SparkEntry {
       // so ragged edge tiles are exercised
       val tiles = matS(s, d).split(49, 49)
       Extras.concat(tiles, 49, 49).df
+    }),
+
+    "from_coo_dup" -> ((s, d) => {
+      // from_coo with dup_op (`matrix.py:818`): every COO entry of S fed in
+      // TWICE, duplicates merged by the plus monoid → exactly 2v (integer
+      // cents, so the doubling is FP-exact). Driver-side COO is the
+      // reference's own from_coo contract (arrays in memory); S is the
+      // fixed 97×97 fixture, sf-independent.
+      val coo = Formats.toCoo(matS(s, d))
+      GrbMatrix.fromCoo(s, coo ++ coo, GrbShape(97, 97),
+        dup = Some(Ops.plusMonoid)).df
+    }),
+
+    "mmrw_roundtrip" -> ((s, d) => {
+      // mmwrite → mmread round trip (`io/_matrixmarket.py:98`): Double
+      // text round-trips exactly (Java toString/parse contract), so the
+      // re-read matrix hash-matches the S fixture oracle.
+      val p = java.nio.file.Files.createTempFile("graft-mm", ".mtx").toString
+      Formats.mmwrite(matS(s, d), p)
+      Formats.mmread(s, p).df
+    }),
+
+    "element_setdel" -> ((s, d) =>
+      // element upsert + delete (`matrix.py:3088`, `matrix.py:3529`):
+      // A[5,7] = 123 (an upsert — present or not before), del A[2,3]
+      matS(s, d).set(5L, 7L, 123.0).delete(2L, 3L).df),
+
+    "dense_roundtrip" -> ((s, d) => {
+      // to_dense → from_dense round trip (`matrix.py:1461`, `matrix.py:900`):
+      // export fills missing cells with 0.0 and the re-import keeps ALL
+      // dense entries (GraphBLAS from_dense semantics: every cell present),
+      // so the result is the full 97×97 grid with v = coalesce(S.v, 0).
+      val dense = Formats.toDense(matS(s, d))
+      Formats.fromDense(s, dense.toSeq.map(_.toSeq)).df
     }),
 
     "setdiag_vals" -> ((s, d) => {
@@ -661,6 +713,25 @@ object SparkEntry {
     // full pagerank: 15 unrolled iterations at 1e-6 rounding (the query is
     // pinned to the same fixed recurrence — VERDICT r3 item 2)
     "pagerank" -> pagerankIterSql(15, 6),
+
+    // resume(3)+run-to-5 must equal the straight-through 5-iteration oracle
+    "pagerank_resume" -> pagerankIterSql(5),
+
+    "from_coo_dup" -> s"SELECT src, dst, v + v AS v FROM ($sqlS)",
+
+    "mmrw_roundtrip" -> s"SELECT src, dst, v FROM ($sqlS)",
+
+    "element_setdel" ->
+      s"""SELECT src, dst, v FROM ($sqlS)
+         |WHERE NOT (src = 5 AND dst = 7) AND NOT (src = 2 AND dst = 3)
+         |UNION ALL SELECT CAST(5 AS BIGINT) AS src, CAST(7 AS BIGINT) AS dst,
+         |  CAST(123.0 AS DOUBLE) AS v""".stripMargin,
+
+    "dense_roundtrip" ->
+      s"""SELECT r.i AS src, c.j AS dst, CAST(coalesce(S.v, 0.0) AS DOUBLE) AS v
+         |FROM generate_series(0, 96) AS r(i)
+         |CROSS JOIN generate_series(0, 96) AS c(j)
+         |LEFT JOIN ($sqlS) S ON S.src = r.i AND S.dst = c.j""".stripMargin,
 
     "bfs_parents" ->
       s"""WITH RECURSIVE base AS ($sqlEdges),
