@@ -405,6 +405,39 @@ object SparkEntry {
       Formats.fromDense(s, dense.toSeq.map(_.toSeq)).df
     }),
 
+    "csr_roundtrip" -> ((s, d) =>
+      // to_csr → from_csr round trip (`matrix.py:1647,1071`): the packed
+      // (src, dsts[], vals[]) bucket layout — the same distributed CSR
+      // shape Adjacency runs PageRank on — re-exploded to COO. Fully
+      // distributed (groupBy + posexplode), no driver hop.
+      Formats.fromCsrBuckets(Formats.toCsrBuckets(matS(s, d).df))),
+
+    "dicts_roundtrip" -> ((s, d) =>
+      // from_dicts → to_dicts round trip (`matrix.py:987,1552`)
+      Formats.fromDicts(s, Formats.toDicts(matS(s, d)), GrbShape(97, 97)).df),
+
+    "from_scalar_dense" -> ((s, d) =>
+      // from_scalar (`matrix.py:900`): an 11×7 constant matrix — every
+      // cell present with the same value (dense iso semantics)
+      GrbMatrix.fromScalar(s, 3.5, GrbShape(11, 7)).df),
+
+    "dup_mask" -> ((s, d) => {
+      // dup with mask-on-construction (`matrix.py:683` dup(mask=)): the
+      // copy is restricted to the mask's key set at build time
+      val m = matS(s, d)
+      m.dup(GrbMask(m.df.filter(col("v") > 2500).select(col("src"), col("dst")))).df
+    }),
+
+    "vector_assign" -> ((s, d) => {
+      // general vector assign w[indices] << u (`vector.py`
+      // _prep_for_assign): the target region (customer ids) is REPLACED by
+      // u's values — existing positions overwritten, absent ones upserted,
+      // all other positions of w untouched
+      val u = vec1(s, d)
+      val m = u.df.select(col("id").as("idx"), col("id").as("target"))
+      vec2(s, d).assign(m, u).df
+    }),
+
     "setdiag_vals" -> ((s, d) => {
       // FULL setdiag(values, k, accum) (`matrix.py:2905`): vector onto the
       // k=1 diagonal, overlaps accumulated by plus, off-diagonal untouched
@@ -732,6 +765,21 @@ object SparkEntry {
          |FROM generate_series(0, 96) AS r(i)
          |CROSS JOIN generate_series(0, 96) AS c(j)
          |LEFT JOIN ($sqlS) S ON S.src = r.i AND S.dst = c.j""".stripMargin,
+
+    "csr_roundtrip" -> s"SELECT src, dst, v FROM ($sqlS)",
+
+    "dicts_roundtrip" -> s"SELECT src, dst, v FROM ($sqlS)",
+
+    "from_scalar_dense" ->
+      s"""SELECT r.i AS src, c.j AS dst, CAST(3.5 AS DOUBLE) AS v
+         |FROM generate_series(0, 10) AS r(i)
+         |CROSS JOIN generate_series(0, 6) AS c(j)""".stripMargin,
+
+    "dup_mask" -> s"SELECT src, dst, v FROM ($sqlS) WHERE v > 2500",
+
+    "vector_assign" ->
+      s"""SELECT coalesce(a.id, w.id) AS id, coalesce(a.v, w.v) AS v
+         |FROM ($sqlV2) w FULL JOIN ($sqlV1) a ON w.id = a.id""".stripMargin,
 
     "bfs_parents" ->
       s"""WITH RECURSIVE base AS ($sqlEdges),
