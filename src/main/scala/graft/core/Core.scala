@@ -152,7 +152,7 @@ object Kernels {
   /** ewise_mult = intersection (inner join), `matrix.py:1952`.
     * A bound IndexBinaryOp (`Ops.boundIndexMult`) resolves to its
     * index-aware form: both operands share the join keys, so (i, j) — or
-    * (i, i) for vectors, the select convention — are the key columns. */
+    * (i, 0) for vectors, the n×1-column convention — are the key columns. */
   def ewiseMultDF(a: DataFrame, b: DataFrame, keys: Seq[String], op: BinaryOp): DataFrame = {
     val la = a.select(keys.map(col) :+ col(V).as("_va"): _*)
     val rb = b.select(keys.map(col) :+ col(V).as("_vb"): _*)
