@@ -278,6 +278,39 @@ object SparkEntry {
     "transpose_reduce" -> ((s, d) =>
       matM(s, d).transpose.reduceRowwise(Ops.plusMonoid).df),
 
+    // isequal / isclose (`matrix.py:373,417`, `vector.py:340,381`): the
+    // whole-collection comparisons are driver-side Booleans, so the query
+    // packs six deterministic scenarios into one row of 0/1 flags —
+    // identity, a +1 value perturbation, a within-tolerance relative
+    // perturbation (1e-6 accepts, exact rejects), a dropped element
+    // (structure mismatch), and the vector pair. Fixed 97×97 S fixture:
+    // each flag is a bounded limit(1)-count job, sf-independent.
+    "isequal_isclose" -> ((s, d) => {
+      import s.implicits._
+      val a = matS(s, d)
+      val mk = a.df.orderBy(col("src"), col("dst")).limit(1)
+        .select(col("src"), col("dst")).collect()(0)
+      val (mr, mc) = (mk.getLong(0), mk.getLong(1))
+      val hit = col("src") === mr && col("dst") === mc
+      def re(df: DataFrame) = GrbMatrix(df, a.shape)
+      val perturbed = re(a.df.withColumn("v",
+        when(hit, col("v") + 1.0).otherwise(col("v"))))
+      val scaled = re(a.df.withColumn("v", col("v") * (1.0 + 5e-8)))
+      val missing = re(a.df.filter(!hit))
+      val v = vec1(s, d)
+      val vScaled = GrbVector(v.df.withColumn("v", col("v") * (1.0 + 5e-8)), v.size)
+      Seq((
+        if (a.isequal(re(a.df))) 1L else 0L,
+        if (a.isequal(perturbed)) 1L else 0L,
+        if (a.isclose(scaled, relTol = 1e-6)) 1L else 0L,
+        if (a.isclose(scaled, relTol = 1e-12)) 1L else 0L,
+        if (a.isclose(missing, relTol = 1e-6)) 1L else 0L,
+        if (v.isequal(GrbVector(v.df, v.size))) 1L else 0L,
+        if (v.isclose(vScaled, relTol = 1e-6)) 1L else 0L
+      )).toDF("eq_self", "eq_perturbed", "close_tol", "close_tight",
+        "close_missing", "veq_self", "vclose_tol")
+    }),
+
     "mask_structural" -> ((s, d) =>
       Kernels.maskFilter(vec1(s, d).df, vec2(s, d).mask(), Seq("id"))),
 
@@ -829,6 +862,47 @@ object SparkEntry {
 
     "transpose_reduce" ->
       s"SELECT dst AS id, sum(v) AS v FROM ($sqlM) GROUP BY dst",
+
+    "isequal_isclose" ->
+      s"""WITH s AS ($sqlS),
+         |mn AS (SELECT src, dst FROM s ORDER BY src, dst LIMIT 1),
+         |sp AS (SELECT s.src, s.dst,
+         |         s.v + CASE WHEN mn.src IS NOT NULL THEN 1.0 ELSE 0.0 END AS v
+         |       FROM s LEFT JOIN mn ON s.src = mn.src AND s.dst = mn.dst),
+         |sc AS (SELECT src, dst, v * (1.0 + 5e-8) AS v FROM s),
+         |sm AS (SELECT s.src, s.dst, s.v FROM s
+         |       LEFT JOIN mn ON s.src = mn.src AND s.dst = mn.dst
+         |       WHERE mn.src IS NULL),
+         |v1 AS ($sqlV1),
+         |vc AS (SELECT id, v * (1.0 + 5e-8) AS v FROM v1),
+         |n AS (SELECT count(*) AS n FROM s),
+         |nv AS (SELECT count(*) AS n FROM v1)
+         |SELECT
+         | CAST((SELECT count(*) FROM s a JOIN s b
+         |       ON a.src=b.src AND a.dst=b.dst AND a.v=b.v)
+         |      = (SELECT n FROM n) AS BIGINT) AS eq_self,
+         | CAST((SELECT count(*) FROM s a JOIN sp b
+         |       ON a.src=b.src AND a.dst=b.dst AND a.v=b.v)
+         |      = (SELECT n FROM n) AS BIGINT) AS eq_perturbed,
+         | CAST((SELECT count(*) FROM s a JOIN sc b
+         |       ON a.src=b.src AND a.dst=b.dst
+         |       AND abs(a.v-b.v) <= 1e-6*greatest(abs(a.v),abs(b.v)))
+         |      = (SELECT n FROM n) AS BIGINT) AS close_tol,
+         | CAST((SELECT count(*) FROM s a JOIN sc b
+         |       ON a.src=b.src AND a.dst=b.dst
+         |       AND abs(a.v-b.v) <= 1e-12*greatest(abs(a.v),abs(b.v)))
+         |      = (SELECT n FROM n) AS BIGINT) AS close_tight,
+         | CAST(((SELECT count(*) FROM s a JOIN sm b
+         |       ON a.src=b.src AND a.dst=b.dst
+         |       AND abs(a.v-b.v) <= 1e-6*greatest(abs(a.v),abs(b.v)))
+         |      = (SELECT n FROM n))
+         |   AND ((SELECT count(*) FROM sm) = (SELECT n FROM n)) AS BIGINT)
+         |   AS close_missing,
+         | CAST((SELECT count(*) FROM v1 a JOIN v1 b ON a.id=b.id AND a.v=b.v)
+         |      = (SELECT n FROM nv) AS BIGINT) AS veq_self,
+         | CAST((SELECT count(*) FROM v1 a JOIN vc b ON a.id=b.id
+         |       AND abs(a.v-b.v) <= 1e-6*greatest(abs(a.v),abs(b.v)))
+         |      = (SELECT n FROM nv) AS BIGINT) AS vclose_tol""".stripMargin,
 
     "mask_structural" ->
       s"SELECT id, v FROM ($sqlV1) WHERE id IN (SELECT id FROM ($sqlV2))",
