@@ -243,6 +243,29 @@ object SparkEntry {
         .scores.select(col("id"), round(col("v"), 9).as("v"))
     }),
 
+    "pagerank_personalized" -> ((s, d) => {
+      // teleport restricted to seed vertices 0..9; fixed 5 iterations so the
+      // DuckDB oracle unrolls the exact recurrence (same discipline as
+      // pagerank_iter5)
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      PersonalizedPageRank.run(s, adj, s.range(10).toDF("id"),
+          damping = 0.85, tol = 0.0, maxIter = 5)
+        .scores.select(col("id"), round(col("v"), 9).as("v"))
+    }),
+
+    "hits" -> ((s, d) => {
+      // 5 L2-normalized hub/authority rounds; the reversed-edge adjacency is
+      // built once so both gathers run the zero-exchange plan
+      val e = edgesG(s, d)
+      val adjOut = Adjacency.build(e, gmod(d), parts(s))
+      val adjIn = Adjacency.build(
+        e.select(col("dst").as("src"), col("src").as("dst")), gmod(d), parts(s))
+      HITS.run(s, adjOut, adjIn, maxIter = 5).scores
+        .select(col("id"),
+          coalesce(round(col("hub"), 6), lit(0.0)).as("hub"),
+          coalesce(round(col("authority"), 6), lit(0.0)).as("authority"))
+    }),
+
     "bfs_parents" -> ((s, d) =>
       BFS.parents(s, edgesG(s, d), 0, maxDepth = 15)),
 
@@ -782,6 +805,10 @@ object SparkEntry {
 
     // resume(3)+run-to-5 must equal the straight-through 5-iteration oracle
     "pagerank_resume" -> pagerankIterSql(5),
+
+    "pagerank_personalized" -> pprIterSql(5),
+
+    "hits" -> hitsIterSql(5),
 
     "from_coo_dup" -> s"SELECT src, dst, v + v AS v FROM ($sqlS)",
 
@@ -1340,6 +1367,54 @@ object SparkEntry {
        |r0 AS (SELECT id, 1.0/937 AS v FROM range(0, 937) t(id)),
        |$steps
        |SELECT id, round(v, $digits) AS v FROM r$k""".stripMargin
+  }
+
+  /** K unrolled personalized-PageRank iterations: pagerankIterSql with the
+    * uniform teleport/init replaced by mass on seed vertices 0..nSeeds-1. */
+  private def pprIterSql(k: Int, nSeeds: Int = 10, digits: Int = 9): String = {
+    val steps = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT t.id AS id,
+         |    (CASE WHEN t.id < $nSeeds THEN 0.15/$nSeeds ELSE 0 END)
+         |      + coalesce(c.g, 0) AS v
+         |  FROM range(0, 937) t(id) LEFT JOIN (
+         |    SELECT b.dst AS id, sum(r${i - 1}.v * 0.85 / d.deg) AS g
+         |    FROM base b JOIN deg d ON b.src = d.src
+         |    JOIN r${i - 1} ON r${i - 1}.id = b.src GROUP BY b.dst) c
+         |  ON t.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($sqlEdges),
+       |deg AS (SELECT src, count(*) AS deg FROM base GROUP BY src),
+       |r0 AS (SELECT id, CASE WHEN id < $nSeeds THEN 1.0/$nSeeds ELSE 0.0 END AS v
+       |       FROM range(0, 937) t(id)),
+       |$steps
+       |SELECT id, round(v, $digits) AS v FROM r$k""".stripMargin
+  }
+
+  /** K unrolled HITS rounds (mirrors HITS.run: authority = L2-normalized
+    * Aᵀh, hub = L2-normalized A·a; missing stays absent until the final
+    * coalesce-to-0 projection shared with the Spark side). */
+  private def hitsIterSql(k: Int, digits: Int = 6): String = {
+    val steps = (1 to k).map { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      // the L2 norm is a window over the whole CTE, NOT a scalar subquery:
+      // a second reference to ar$i/hr$i would double the inlined plan per
+      // round (2^2k CTE expansions — observed hanging DuckDB at k=5)
+      s"""ar$i AS (SELECT b.dst AS id, sum($hPrev.v) AS v
+         |         FROM base b JOIN $hPrev ON $hPrev.id = b.src GROUP BY b.dst),
+         |a$i AS (SELECT id, v / sqrt(sum(v*v) OVER ()) AS v FROM ar$i),
+         |hr$i AS (SELECT b.src AS id, sum(a$i.v) AS v
+         |         FROM base b JOIN a$i ON a$i.id = b.dst GROUP BY b.src),
+         |h$i AS (SELECT id, v / sqrt(sum(v*v) OVER ()) AS v FROM hr$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($sqlEdges),
+       |h0 AS (SELECT id, 1.0/sqrt(937.0) AS v FROM range(0, 937) t(id)),
+       |$steps
+       |SELECT coalesce(h.id, a.id) AS id,
+       |  coalesce(round(h.v, $digits), 0.0) AS hub,
+       |  coalesce(round(a.v, $digits), 0.0) AS authority
+       |FROM h$k h FULL JOIN a$k a ON h.id = a.id""".stripMargin
   }
 
   /** K unrolled synchronous mode-LPA rounds (mirrors LabelPropagation.run:

@@ -164,4 +164,75 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
   }
+
+  test("Personalized PageRank with the full vertex set as seeds equals plain PageRank") {
+    val adj = Adjacency.build(prEdges.toDF("src", "dst"), 5, 4)
+    val plain = PageRank.run(spark, adj, damping = 0.85, tol = 0.0, maxIter = 8)
+      .scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ppr = PersonalizedPageRank.run(spark, adj, spark.range(5).toDF("id"),
+        damping = 0.85, tol = 0.0, maxIter = 8)
+      .scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr.keySet == plain.keySet)
+    plain.foreach { case (k, v) => assert(math.abs(ppr(k) - v) < 1e-12) }
+  }
+
+  test("Personalized PageRank concentrates mass near the seed (driver recurrence)") {
+    // exact seeded recurrence on the 5-node demo graph, seed = {0}
+    val n = 5; val damping = 0.85; val iters = 6
+    val outDeg = prEdges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var r = Array.tabulate(n)(i => if (i == 0) 1.0 else 0.0)
+    (1 to iters).foreach { _ =>
+      val t = r
+      r = Array.tabulate(n)(i => if (i == 0) 1.0 - damping else 0.0)
+      prEdges.foreach { case (s, d) =>
+        r(d.toInt) += t(s.toInt) * damping / outDeg(s)
+      }
+    }
+    val adj = Adjacency.build(prEdges.toDF("src", "dst"), n, 4)
+    val got = PersonalizedPageRank.run(spark, adj, spark.range(1).toDF("id"),
+        damping = damping, tol = 0.0, maxIter = iters)
+      .scores.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    (0 until n).foreach { i =>
+      assert(math.abs(got(i.toLong) - r(i)) < 1e-12,
+        s"vertex $i: got ${got(i.toLong)}, want ${r(i)}")
+    }
+  }
+
+  test("HITS matches the driver recurrence and has unit-L2 hub/authority vectors") {
+    // chain + shortcut: 0→1, 0→2, 1→2, 3→2 — vertex 0 is the strongest hub,
+    // vertex 2 the strongest authority; sink 2 has no hub entry, source
+    // vertices 0/3 have no authority entry (missing = absent)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 2L))
+    val n = 4
+    var h = Array.fill(n)(1.0 / math.sqrt(n.toDouble))
+    var a = Array.fill(n)(0.0)
+    (1 to 5).foreach { _ =>
+      a = Array.fill(n)(0.0)
+      edges.foreach { case (s, d) => a(d.toInt) += h(s.toInt) }
+      val an = math.sqrt(a.map(x => x * x).sum)
+      a = a.map(_ / an)
+      h = Array.fill(n)(0.0)
+      edges.foreach { case (s, d) => h(s.toInt) += a(d.toInt) }
+      val hn = math.sqrt(h.map(x => x * x).sum)
+      h = h.map(_ / hn)
+    }
+    val e = edges.toDF("src", "dst")
+    val adjOut = Adjacency.build(e, n, 4)
+    val adjIn = Adjacency.build(e.select(col("dst").as("src"), col("src").as("dst")), n, 4)
+    val res = HITS.run(spark, adjOut, adjIn, maxIter = 5)
+    val rows = res.scores.collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toList
+    val hubs = rows.collect { case (id, Some(x), _) => id -> x }.toMap
+    val auths = rows.collect { case (id, _, Some(x)) => id -> x }.toMap
+    // sparsity: only vertices with out-edges get hubs, with in-edges auths
+    assert(hubs.keySet == Set(0L, 1L, 3L))
+    assert(auths.keySet == Set(1L, 2L))
+    hubs.foreach { case (k, v) => assert(math.abs(v - h(k.toInt)) < 1e-12) }
+    auths.foreach { case (k, v) => assert(math.abs(v - a(k.toInt)) < 1e-12) }
+    assert(math.abs(hubs.values.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(math.abs(auths.values.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(hubs.maxBy(_._2)._1 == 0L && auths.maxBy(_._2)._1 == 2L)
+  }
 }
