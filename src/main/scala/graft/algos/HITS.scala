@@ -21,9 +21,13 @@ final case class HitsResult(scores: DataFrame, iterations: Int)
   * adjacency for the hub step. Building the transpose layout once at graph
   * build (its own single shuffle) is what keeps every iteration free of
   * edge-scale shuffles in both directions; per iteration only the two small
-  * score vectors and their map-side-combined partials move. The L2 norms
-  * are driver-side scalar reductions (`Vector.reduce` analogue) folded into
-  * the state-materialization pass.
+  * score vectors and their map-side-combined partials move.
+  *
+  * The L2 normalization never materializes a scaled vector: each gather's
+  * sum-of-squares rides the SAME job that materializes the raw sums
+  * (Ckpt.materializeWithSum), and the resulting norm is applied as a
+  * driver-side constant divisor inside the NEXT gather's projection — two
+  * jobs per iteration total, the same count as a PageRank step pair.
   *
   * Missing = absent throughout: a vertex with no in-edges has NO authority
   * entry (not an explicit 0), and a sink has no hub entry — GraphBLAS
@@ -38,50 +42,41 @@ object HITS {
     val n = adjOut.numVertices
     val p = adjOut.numPartitions
 
-    // h0 = uniform unit-L2 vector over the full universe
-    var hState = Ckpt.materialize(
-      spark.range(n).repartition(p, col("id"))
-        .select(col("id"), lit(1.0 / math.sqrt(n.toDouble)).as("v")))
-    var aState = hState // replaced on first iteration
-    var h = hState.df
-    var a = h
-    var iter = 0
-
-    /** one normalized gather: scores joined to `adj` on its bucket key,
-      * exploded, partial-agg'd per neighbor, then L2-normalized. The raw
-      * sum-of-squares is computed in the SAME materialization pass as the
-      * gather result (one job), and the cheap normalizing projection is
-      * re-materialized so the next consumer sees a flat plan. */
-    def gatherNormalized(adj: Adjacency, scores: DataFrame) = {
+    /** one UNNORMALIZED gather of `scores/divisor`: raw per-neighbor sums
+      * plus their sum-of-squares in a single materialization pass. */
+    def gather(adj: Adjacency, scores: DataFrame, divisor: Double) = {
       val contrib = adj.rows
         .join(scores, adj.rows("src") === scores("id"))
-        .select(col("dsts"), col("v").as("c"))
+        .select(col("dsts"), (col("v") / divisor).as("c"))
         .select(explode(col("dsts")).as("_dn"), col("c"))
         .select(col("_dn").cast("long").as("dst"), col("c"))
       val raw = contrib.groupBy("dst").agg(sum(col("c")).as("v"))
         .select(col("dst").as("id"), col("v"), (col("v") * col("v")).as("_sq"))
-      val (rawState, sumSq) = Ckpt.materializeWithSum(raw, "_sq")
-      val norm = math.sqrt(sumSq)
-      val scaled = Ckpt.materialize(
-        rawState.df.select(col("id"), (col("v") / norm).as("v")))
-      rawState.release()
-      scaled
+      val (st, sumSq) = Ckpt.materializeWithSum(raw, "_sq")
+      (st, math.sqrt(sumSq))
     }
 
+    // h0 = uniform unit-L2 vector over the full universe (raw, norm 1)
+    var hState = Ckpt.materialize(
+      spark.range(n).repartition(p, col("id"))
+        .select(col("id"), lit(1.0 / math.sqrt(n.toDouble)).as("v")))
+    var hNorm = 1.0
+    var aState = hState // replaced on first iteration
+    var aNorm = 1.0
+    var iter = 0
     while (iter < maxIter) {
-      val aNew = gatherNormalized(adjOut, h)
+      val (aNew, an) = gather(adjOut, hState.df, hNorm)
       if (iter > 0) aState.release()
-      aState = aNew
-      a = aNew.df
-      val hNew = gatherNormalized(adjIn, a)
+      aState = aNew; aNorm = an
+      val (hNew, hn) = gather(adjIn, aState.df, aNorm)
       hState.release()
-      hState = hNew
-      h = hNew.df
+      hState = hNew; hNorm = hn
       iter += 1
     }
 
-    val out = h.select(col("id"), col("v").as("hub"))
-      .join(a.select(col("id"), col("v").as("authority")), Seq("id"), "full_outer")
+    val out = hState.df.select(col("id"), (col("v") / hNorm).as("hub"))
+      .join(aState.df.select(col("id"), (col("v") / aNorm).as("authority")),
+        Seq("id"), "full_outer")
     HitsResult(out, iter)
   }
 }
