@@ -705,6 +705,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.05)),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(s, t(s, d, "documents"), threshold = 0.05)),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshCandidates(t(s, d, "documents"))),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
@@ -1225,19 +1227,20 @@ object SparkEntry {
 
     "doc_fingerprint" -> docFingerprintSql,
 
-    "ngram_jaccard" ->
-      s"""WITH $sqlShingleCtes,
-        |rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 50),
-        |s AS (SELECT s0.doc_id, s0.shingle FROM s0 JOIN rare USING (shingle)),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
-        |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
-        |FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-        |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05"""
-        .stripMargin,
+    "ngram_jaccard" -> ngramJaccardSql,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE p AS ($ngramJaccardSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |r(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id,
+         |  CAST(min(lbl) = id AS BIGINT) AS is_canonical
+         |FROM r GROUP BY id""".stripMargin,
 
     "minhash_signatures" -> minhashSql,
     "minhash_lsh_pairs" -> minhashLshSql,
@@ -1479,6 +1482,22 @@ object SparkEntry {
   /** mirror of Dedup.shingleIdRows as chained CTEs `t, hh, s0` — `s0` is the
     * distinct (doc_id, shingle) table of 62-bit ids from per-token hashes;
     * shared by the ngram_jaccard and minhash oracles. */
+  /** threshold-0.05 word-shingle Jaccard pairs (shared by `ngram_jaccard`
+    * and the `dedup_clusters` edge source) */
+  private def ngramJaccardSql: String =
+    s"""WITH $sqlShingleCtes,
+       |rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 50),
+       |s AS (SELECT s0.doc_id, s0.shingle FROM s0 JOIN rare USING (shingle)),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+       |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+       |FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05"""
+      .stripMargin
+
   private def sqlShingleCtes: String =
     s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
        |           FROM documents),

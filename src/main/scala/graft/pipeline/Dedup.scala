@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.algos.ConnectedComponents
 
 /** Deduplication operators for training-data pipelines: exact hash dedup,
   * word-n-gram Jaccard near-dup, MinHash+LSH banding, SimHash.
@@ -102,6 +103,28 @@ object Dedup {
     sh.unpersist(blocking = false)
     all.unpersist(blocking = false)
     out
+  }
+
+  /** End-to-end near-dup resolution — what a 100-TB training-data pipeline
+    * actually ships: threshold-verified Jaccard pairs (bucketed candidate
+    * generation, never all-pairs) → connected components over the resulting
+    * doc-pair graph (FastSV, O(log n) rounds) → one row per document with
+    * its cluster id and a canonical flag (keep the smallest doc_id per
+    * cluster; `is_canonical=1` rows are the surviving corpus). The dup-pair
+    * graph is orders of magnitude smaller than the corpus, so the CC phase
+    * is cheap relative to candidate generation. */
+  def dedupClusters(spark: SparkSession, docs: DataFrame,
+                    threshold: Double = 0.5, w: Int = 3,
+                    maxDf: Int = 50): DataFrame = {
+    val nDocs = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pairs = ngramJaccardPairs(docs, threshold, w, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    ConnectedComponents.run(spark, sym, nDocs, parts).components
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).cast("long").as("is_canonical"))
   }
 
   private val P = 2147483647L
