@@ -42,8 +42,12 @@ object Bench {
         val iters = sys.env.getOrElse("SPARK_GRAFT_SCALING_ITERS", "4").toInt
         val adjPath = ScalingBench.ensureAdjacency(nP)
         // interleaved trials behind one DISCARDED warm-up pass per level
-        // (first visits run 1.5-2.5× slow: JIT + allocator ramp), per-level
-        // minimum — the noise filter this bursty shared host requires
+        // (first visits run 1.5-2.5× slow: JIT + allocator ramp). Headline
+        // efficiency = MEDIAN of the paired per-trial ratios (adjacent legs
+        // share their noise window, so common-mode bursts cancel); the
+        // rounds-1-3 per-level-minimum ratio stays in the JSON as
+        // efficiency_minratio — see ScalingBench.PairResult + BENCH/BASELINE
+
         val levels = ScalingBench.measureLevels(adjPath, nP, Seq(2, 8, 32),
           iters = iters,
           trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt,
