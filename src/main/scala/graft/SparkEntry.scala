@@ -212,6 +212,13 @@ object SparkEntry {
     "connected_components" -> ((s, d) =>
       ConnectedComponents.run(s, edgesGSym(s, d), gmod(d), parts(s)).components),
 
+    "kcore" -> ((s, d) =>
+      // k=95 peels a 12-vertex fringe off the ~117-avg-degree fixture in 3
+      // cascading rounds; maxRounds matches the oracle's unroll and early
+      // stop at the fixpoint is bit-identical to running all 8 (the
+      // survivor set shrinks monotonically)
+      KCore.run(s, edgesGSym(s, d), k = 95, parts(s), maxRounds = 8).core),
+
     "label_propagation" -> ((s, d) =>
       // 4 synchronous mode-LPA rounds (maxIter matches lpIterSql's unroll)
       LabelPropagation.run(s, edgesGSym(s, d), gmod(d), parts(s), maxIter = 4)
@@ -789,6 +796,8 @@ object SparkEntry {
          |SELECT id, min(lbl) AS component FROM r GROUP BY id""".stripMargin,
 
     "label_propagation" -> lpIterSql(4),
+
+    "kcore" -> kcoreSql(95, 8),
 
     "bfs_levels" ->
       s"""WITH RECURSIVE base AS ($sqlEdges),
@@ -1370,6 +1379,24 @@ object SparkEntry {
        |r0 AS (SELECT id, 1.0/937 AS v FROM range(0, 937) t(id)),
        |$steps
        |SELECT id, round(v, $digits) AS v FROM r$k""".stripMargin
+  }
+
+  /** R unrolled k-core peeling rounds. Every CTE is referenced twice per
+    * round, so each is pinned AS MATERIALIZED — plain CTEs inline per
+    * reference and the chain would expand 2^R-fold (observed hanging DuckDB
+    * on the HITS oracle before its norm became a window function). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1}
+         |     GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT t.src, t.dst FROM e${i - 1} t
+         |     JOIN a$i x ON t.src = x.id JOIN a$i y ON t.dst = y.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($sqlEdgesSym),
+       |$steps
+       |SELECT src AS id, count(*) AS deg FROM e$rounds GROUP BY src"""
+      .stripMargin
   }
 
   /** K unrolled personalized-PageRank iterations: pagerankIterSql with the

@@ -165,6 +165,18 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("KCore peels pendant chains, keeps the triangle, reports core degrees") {
+    // triangle 0-1-2 with a pendant chain 2-3-4: the 2-core is the triangle
+    // (3 and then 4 peel over two cascading rounds)
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val res = KCore.run(spark, sym, k = 2, numPartitions = 4)
+    val got = res.core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // k above the max degree empties the graph
+    assert(KCore.run(spark, sym, k = 5, numPartitions = 4).core.count() == 0)
+  }
+
   test("Personalized PageRank with the full vertex set as seeds equals plain PageRank") {
     val adj = Adjacency.build(prEdges.toDF("src", "dst"), 5, 4)
     val plain = PageRank.run(spark, adj, damping = 0.85, tol = 0.0, maxIter = 8)
