@@ -714,6 +714,22 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.05)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(s, t(s, d, "documents"), threshold = 0.05)),
+    "char_entropy" -> ((s, d) =>
+      TextOps.charEntropy(t(s, d, "documents"))
+        .select(col("doc_id"), round(col("char_entropy"), 6).as("char_entropy"))),
+    "link_predict_aa" -> ((s, d) => {
+      // Adamic-Adar over a 1/7-sparsified G (mod-97 and even full mod-937 are
+      // too dense: nearly every pair is adjacent or wedge-connected, so the
+      // prediction set is vacuous/near-complete). The deterministic
+      // (31*src+dst)%7 thinning puts the graph in a genuine link-prediction
+      // regime (~0.9 expected common neighbors/pair at sf0.01); scores
+      // rounded per the float-agg discipline.
+      val g = edgesG(s, d).filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      LinkPrediction.adamicAdar(e)
+        .select(col("src"), col("dst"), round(col("score"), 6).as("aa"))
+    }),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshCandidates(t(s, d, "documents"))),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
@@ -1238,6 +1254,20 @@ object SparkEntry {
 
     "ngram_jaccard" -> ngramJaccardSql,
 
+    "char_entropy" -> charEntropySql,
+
+    "link_predict_aa" ->
+      s"""WITH g AS (SELECT src, dst FROM ($sqlEdges) WHERE (src * 31 + dst) % 7 = 0),
+         |e AS MATERIALIZED (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |w AS (SELECT a.src AS u, b.dst AS v, sum(1.0/ln(d.deg)) AS score
+         |      FROM e a JOIN deg d ON d.id = a.dst
+         |      JOIN e b ON a.dst = b.src AND a.src < b.dst
+         |      GROUP BY 1, 2)
+         |SELECT u AS src, v AS dst, round(score, 6) AS aa FROM w
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.u AND e.dst = w.v)"""
+        .stripMargin,
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE p AS ($ngramJaccardSql),
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
@@ -1464,6 +1494,27 @@ object SparkEntry {
        |r0 AS (SELECT id, id AS lbl FROM range(0, 937) t(id)),
        |$steps
        |SELECT id, lbl AS label FROM r$k""".stripMargin
+  }
+
+  /** byte-identical mirror of TextOps.charEntropy: same replace-and-diff
+    * counts, same left-associated summation trees (term order changes the
+    * float result; both engines fold c0..c26 left-to-right). */
+  private def charEntropySql: String = {
+    val n = graft.pipeline.TextOps.entropyChars.size
+    val cnts = graft.pipeline.TextOps.entropyChars.zipWithIndex.map {
+      case (c, i) =>
+        s"CAST(length(t) - length(replace(t, '$c', '')) AS DOUBLE) AS c$i"
+    }
+    val total = (0 until n).map(i => s"c$i").mkString(" + ")
+    val terms = (0 until n).map { i =>
+      s"(CASE WHEN c$i > 0.0 THEN -(c$i/total) * log2(c$i/total) ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"""WITH l AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |c AS (SELECT doc_id, ${cnts.mkString(", ")} FROM l),
+       |s AS (SELECT doc_id, ($total) AS total, ${(0 until n).map(i => s"c$i").mkString(", ")} FROM c)
+       |SELECT doc_id,
+       |  round(CASE WHEN total > 0.0 THEN ($terms) ELSE 0.0 END, 6) AS char_entropy
+       |FROM s""".stripMargin
   }
 
   private def docFingerprintSql: String = {

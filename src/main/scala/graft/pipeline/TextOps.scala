@@ -79,4 +79,28 @@ object TextOps {
     while (i < k) { r = r * 31 % 2147483647L; i += 1 }
     r
   }
+
+  /** the character universe the entropy score is computed over */
+  val entropyChars: Seq[Char] = ('a' to 'z') :+ ' '
+
+  /** Character-distribution Shannon entropy over lowercase letters + space —
+    * the classic cheap gibberish/boilerplate detector (natural-language text
+    * sits near 4.1 bits; mashed keys, base64 blobs, and repeated templates
+    * fall well outside). Per-char counts via the replace-and-diff idiom
+    * (27 codegen'd string ops per doc, no explode, no UDF); the summation
+    * tree is a fixed left fold so an identical-association ANSI-SQL
+    * formulation exists for the oracle. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    val counts = entropyChars.map { c =>
+      (length(t) - length(replace(t, lit(c.toString), lit("")))).cast("double")
+    }
+    val total = counts.reduce(_ + _)
+    val terms = counts.map { cnt =>
+      when(cnt > 0.0, -(cnt / total) * log2(cnt / total)).otherwise(lit(0.0))
+    }
+    docs.select(col("doc_id"),
+      when(total > 0.0, terms.reduce(_ + _)).otherwise(lit(0.0))
+        .as("char_entropy"))
+  }
 }

@@ -177,6 +177,20 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(KCore.run(spark, sym, k = 5, numPartitions = 4).core.count() == 0)
   }
 
+  test("Adamic-Adar: hand-computed scores on a 4-node graph; center cap drops hub wedges") {
+    // undirected {0-1, 1-2, 0-2, 2-3}: the only non-adjacent pairs are (0,3)
+    // and (1,3), each with the single common neighbor 2 (deg 3)
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = LinkPrediction.adamicAdar(sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val w = 1.0 / math.log(3.0)
+    assert(got.keySet == Set((0L, 3L), (1L, 3L)))
+    assert(got.values.forall(v => math.abs(v - w) < 1e-12))
+    // capping centers at deg 2 removes vertex 2, the only shared neighbor
+    assert(LinkPrediction.adamicAdar(sym, maxCenterDeg = 2).count() == 0)
+  }
+
   test("Personalized PageRank with the full vertex set as seeds equals plain PageRank") {
     val adj = Adjacency.build(prEdges.toDF("src", "dst"), 5, 4)
     val plain = PageRank.run(spark, adj, damping = 0.85, tol = 0.0, maxIter = 8)
