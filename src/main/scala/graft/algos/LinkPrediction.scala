@@ -24,18 +24,28 @@ object LinkPrediction {
 
   def adamicAdar(edgesSym: DataFrame,
                  maxCenterDeg: Int = Int.MaxValue): DataFrame = {
-    val deg = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // e feeds FOUR plan branches (both wedge sides, the degree histogram,
+    // and the anti-join mask) — without a persist the upstream
+    // extract/symmetrize/distinct chain re-runs per branch (the fan-out
+    // recompute gotcha); materialize eagerly so cold branches don't race
+    val e = edgesSym.persist()
+    e.count()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxCenterDeg)
       .select(col("src").as("_w"), col("deg"))
-    val a = edgesSym.select(col("src").as("u"), col("dst").as("w"))
-    val b = edgesSym.select(col("src").as("_w2"), col("dst").as("v"))
+    val a = e.select(col("src").as("u"), col("dst").as("w"))
+    val b = e.select(col("src").as("_w2"), col("dst").as("v"))
     val wedges = a
       .join(deg, col("w") === col("_w")) // capped centers only
       .join(b, col("w") === col("_w2") && col("u") < col("v"))
       .groupBy("u", "v").agg(sum(lit(1.0) / log(col("deg"))).as("score"))
-    wedges
-      .join(edgesSym, wedges("u") === edgesSym("src") &&
-        wedges("v") === edgesSym("dst"), "left_anti")
+    val result = wedges
+      .join(e, wedges("u") === e("src") && wedges("v") === e("dst"), "left_anti")
       .select(col("u").as("src"), col("v").as("dst"), col("score"))
+    // materialize, then release the edge cache (cache-hygiene contract:
+    // CacheManager must be empty after each pipeline op)
+    val out = graft.core.Ckpt.materialize(result).df
+    e.unpersist(blocking = false)
+    out
   }
 }
