@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.core.Extras._
-import graft.graph.Adjacency
+import graft.graph.{Adjacency, Contraction}
+import graft.pipeline.UrlOps
 import graft.algos._
 import graft.pipeline.{Dedup, Media, Similarity, TextOps}
 import graft.ingest.Pages
@@ -730,6 +731,55 @@ object SparkEntry {
       LinkPrediction.adamicAdar(e)
         .select(col("src"), col("dst"), round(col("score"), 6).as("aa"))
     }),
+    "scc" -> ((s, d) => {
+      // strongly connected components on the DIRECTED 1/23-sparsified G
+      // (full G is so dense its giant SCC is everything; even /7 leaves only
+      // 3 SCCs — /23 yields 146 SCCs and a 4-class bow tie, a real fixture)
+      val g = edgesG(s, d).filter((col("src") * 31 + col("dst")) % 23 === 0)
+      SCC.run(s, g, parts(s)).components
+    }),
+    "bowtie" -> ((s, d) => {
+      // same 1/23 sparsification as `scc` (all four classes populated)
+      val g = edgesG(s, d).filter((col("src") * 31 + col("dst")) % 23 === 0)
+      BowTie.run(s, g, parts(s)).classes
+    }),
+    "link_predict_jaccard" -> ((s, d) => {
+      // same sparsified regime as link_predict_aa (see note there)
+      val g = edgesG(s, d).filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      LinkPrediction.jaccard(e)
+        .select(col("src"), col("dst"), round(col("score"), 6).as("jac"))
+    }),
+    "contract_quotient" -> ((s, d) => {
+      // quotient of G by a 53-block vertex partition, via the RELATION form
+      // of Contraction (the projection form is exercised by Pages.hostGraph
+      // and its spec — no parquet url table exists for an oracle there)
+      val e = edgesG(s, d)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      Contraction.contract(e, verts.select(col("id"), (col("id") % 53).as("grp")))
+    }),
+    "url_normalize" -> ((s, d) => {
+      // deterministic url synthesis over documents: mixed-case scheme/host,
+      // userinfo, default vs explicit port, duplicate-slash path, trailing
+      // slash, query, fragment — every branch of UrlOps.normalize fires
+      val id = col("doc_id")
+      val raw = org.apache.spark.sql.functions.concat(
+        lit("HTTPS://User@Site"), (id % 37).cast("string"), lit(".Example.COM"),
+        when(id % 5 === 0, lit(":443")).when(id % 5 === 1, lit(":8443"))
+          .otherwise(lit("")),
+        lit("/Path//p/"), id.cast("string"),
+        when(id % 3 === 0, lit("/")).otherwise(lit("")),
+        when(id % 4 === 0, lit("?q=1")).otherwise(lit("")),
+        when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+      t(s, d, "documents").select(id,
+        UrlOps.host(raw).as("host"),
+        UrlOps.domain(raw).as("domain"),
+        UrlOps.port(raw).as("port"),
+        UrlOps.pathDepth(raw).as("depth"),
+        UrlOps.normalize(raw).as("url_norm"))
+    }),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshCandidates(t(s, d, "documents"))),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
@@ -1267,6 +1317,105 @@ object SparkEntry {
          |SELECT u AS src, v AS dst, round(score, 6) AS aa FROM w
          |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.u AND e.dst = w.v)"""
         .stripMargin,
+
+    "scc" ->
+      s"""WITH RECURSIVE g AS MATERIALIZED (
+         |  SELECT src, dst FROM ($sqlEdges) WHERE (src * 31 + dst) % 23 = 0),
+         |v AS (SELECT src AS id FROM g UNION SELECT dst FROM g),
+         |r(a, b) AS (SELECT src, dst FROM g
+         |            UNION
+         |            SELECT r.a, g.dst FROM r JOIN g ON g.src = r.b),
+         |mutual AS (SELECT f.a AS id, f.b AS other
+         |           FROM r f JOIN r bk ON bk.a = f.b AND bk.b = f.a)
+         |SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+         |FROM v LEFT JOIN mutual m ON m.id = v.id
+         |GROUP BY v.id""".stripMargin,
+
+    "bowtie" ->
+      s"""WITH RECURSIVE g AS MATERIALIZED (
+         |  SELECT src, dst FROM ($sqlEdges) WHERE (src * 31 + dst) % 23 = 0),
+         |v AS (SELECT src AS id FROM g UNION SELECT dst FROM g),
+         |r(a, b) AS (SELECT src, dst FROM g
+         |            UNION
+         |            SELECT r.a, g.dst FROM r JOIN g ON g.src = r.b),
+         |mutual AS (SELECT f.a AS id, f.b AS other
+         |           FROM r f JOIN r bk ON bk.a = f.b AND bk.b = f.a),
+         |scc AS (SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+         |        FROM v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id),
+         |core AS (SELECT scc FROM scc GROUP BY scc
+         |         ORDER BY count(*) DESC, scc LIMIT 1),
+         |corev AS (SELECT id FROM scc WHERE scc = (SELECT scc FROM core))
+         |SELECT s.id,
+         |  CASE WHEN s.scc = (SELECT scc FROM core) THEN 'core'
+         |       WHEN EXISTS (SELECT 1 FROM r JOIN corev cv ON r.b = cv.id
+         |                    WHERE r.a = s.id) THEN 'in'
+         |       WHEN EXISTS (SELECT 1 FROM r JOIN corev cv ON r.a = cv.id
+         |                    WHERE r.b = s.id) THEN 'out'
+         |       ELSE 'other' END AS cls
+         |FROM scc s""".stripMargin,
+
+    "link_predict_jaccard" ->
+      s"""WITH g AS (SELECT src, dst FROM ($sqlEdges) WHERE (src * 31 + dst) % 7 = 0),
+         |e AS MATERIALIZED (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |cn AS (SELECT a.src AS u, b.dst AS v, count(*) AS cn
+         |       FROM e a JOIN e b ON a.dst = b.src AND a.src < b.dst
+         |       GROUP BY 1, 2),
+         |s AS (SELECT u, v,
+         |        round(CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn), 6) AS jac
+         |      FROM cn JOIN deg du ON du.id = cn.u JOIN deg dv ON dv.id = cn.v)
+         |SELECT u AS src, v AS dst, jac FROM s
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = s.u AND e.dst = s.v)"""
+        .stripMargin,
+
+    "contract_quotient" ->
+      s"""WITH e AS (SELECT src, dst FROM ($sqlEdges)),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |m AS (SELECT id, id % 53 AS grp FROM v)
+         |SELECT ms.grp AS src_g, md.grp AS dst_g, count(*) AS weight
+         |FROM e JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id
+         |WHERE ms.grp <> md.grp
+         |GROUP BY 1, 2""".stripMargin,
+
+    "url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://User@Site' || (doc_id % 37) || '.Example.COM' ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ':443'
+        |       WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END ||
+        |  '/Path//p/' || doc_id ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '?q=1' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+        |FROM documents),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |  regexp_replace(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^/@]*@', '') AS hostport,
+        |  regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |  regexp_extract(url, '([?][^#]*)', 1) AS qry
+        |FROM u),
+        |h AS (SELECT doc_id, sch, pth, qry,
+        |  lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
+        |  CAST(nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS INT) AS port
+        |FROM c),
+        |p AS (SELECT doc_id, sch, qry, host, port,
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(pth, '/+', '/', 'g'), '^/', ''), '/$', '') AS squeezed,
+        |  regexp_replace(pth, '/+$', '') AS rawpath
+        |FROM h)
+        |SELECT doc_id, host,
+        |  regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS domain,
+        |  port,
+        |  CAST(CASE WHEN squeezed = '' THEN 0
+        |       ELSE length(squeezed) - length(replace(squeezed, '/', '')) + 1
+        |       END AS INT) AS depth,
+        |  sch || '://' || host ||
+        |    CASE WHEN port IS NOT NULL AND NOT
+        |           ((sch = 'http' AND port = 80) OR (sch = 'https' AND port = 443))
+        |         THEN ':' || port ELSE '' END ||
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END || qry AS url_norm
+        |FROM p""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE p AS ($ngramJaccardSql),

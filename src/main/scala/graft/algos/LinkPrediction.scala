@@ -48,4 +48,44 @@ object LinkPrediction {
     e.unpersist(blocking = false)
     out
   }
+
+  /** Jaccard link prediction: `J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|` for
+    * non-adjacent pairs, with `|N(u)∪N(v)| = deg(u)+deg(v)-cn` so the union
+    * never materializes. Same one-wedge-join shape as Adamic-Adar, except
+    * the per-center weight is 1 (a plain pair COUNT — cheaper partial
+    * aggregation) and the u/v degrees join AFTER the pair aggregation, on
+    * the already-collapsed pair relation rather than the wedge fan-out.
+    *
+    * `maxCenterDeg` caps wedge generation exactly as in [[adamicAdar]]
+    * (Σ deg² hub guard); u/v degrees stay UNcapped — the cap bounds the
+    * candidate generator, not the score definition.
+    */
+  def jaccard(edgesSym: DataFrame,
+              maxCenterDeg: Int = Int.MaxValue): DataFrame = {
+    val e = edgesSym.persist()
+    e.count()
+    val degAll = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degCtr = degAll.filter(col("deg") <= maxCenterDeg)
+      .select(col("src").as("_w"))
+    val a = e.select(col("src").as("u"), col("dst").as("w"))
+    val b = e.select(col("src").as("_w2"), col("dst").as("v"))
+    val pairs = a
+      .join(degCtr, col("w") === col("_w"))
+      .join(b, col("w") === col("_w2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    val du = degAll.select(col("src").as("_u"), col("deg").as("deg_u"))
+    val dv = degAll.select(col("src").as("_v"), col("deg").as("deg_v"))
+    val scored = pairs
+      .join(du, col("u") === col("_u"))
+      .join(dv, col("v") === col("_v"))
+      .select(col("u"), col("v"),
+        (col("cn").cast("double") /
+          (col("deg_u") + col("deg_v") - col("cn"))).as("score"))
+    val result = scored
+      .join(e, scored("u") === e("src") && scored("v") === e("dst"), "left_anti")
+      .select(col("u").as("src"), col("v").as("dst"), col("score"))
+    val out = graft.core.Ckpt.materialize(result).df
+    e.unpersist(blocking = false)
+    out
+  }
 }

@@ -106,6 +106,17 @@ object Pages {
       .toDF("url", "id")
   }
 
+  /** Host-level quotient of the link graph, straight from the raw hrefs:
+    * each endpoint url projects to its host (a pure column function) and the
+    * host pairs aggregate — `Contraction.contractBy`, so the whole build is
+    * ONE projection + one hash aggregation with map-side combine, no id-map
+    * join at all. This is the form a 10^12-page host-graph build must take:
+    * the page-level id space never materializes. */
+  def hostGraph(pages: DataFrame): DataFrame =
+    graft.graph.Contraction.contractBy(
+      extractLinks(pages).select(col("url").as("src"), col("dst_url").as("dst")),
+      graft.pipeline.UrlOps.host(_))
+
   /** Full pipeline: pages → href links → id-mapped, deduped (src,dst) edges. */
   def edges(pages: DataFrame, ids: DataFrame): DataFrame = {
     val links = extractLinks(pages)

@@ -191,6 +191,56 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(LinkPrediction.adamicAdar(sym, maxCenterDeg = 2).count() == 0)
   }
 
+  test("Jaccard link prediction: hand-computed on the same 4-node graph") {
+    // {0-1, 1-2, 0-2, 2-3}: degrees 0:2 1:2 2:3 3:1; pairs (0,3) and (1,3)
+    // each share only vertex 2 -> J = 1 / (2 + 1 - 1) = 0.5
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = LinkPrediction.jaccard(sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map((0L, 3L) -> 0.5, (1L, 3L) -> 0.5))
+    assert(LinkPrediction.jaccard(sym, maxCenterDeg = 2).count() == 0)
+  }
+
+  test("SCC: two 3-cycles bridged by a DAG edge plus a tendril") {
+    // {0,1,2} and {3,4,5} are the cycles; 2->3 links them acyclically;
+    // 5->6 hangs a tendril. SCC ids are the min member.
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val res = SCC.run(spark, e, numPartitions = 4)
+    val got = res.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 6L))
+  }
+
+  test("SCC: a pure DAG resolves entirely to singletons in one trim+mark round") {
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val res = SCC.run(spark, e, numPartitions = 4)
+    val got = res.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    assert(res.rounds == 1)
+  }
+
+  test("BowTie: textbook core/in/out/other on a hand-built bow tie") {
+    // core cycle {2,3}; chain 1->0->2 feeds it (IN); 3->4->5 drains it
+    // (OUT); 0->6 is a tendril off IN; {7,8} is a disconnected pair
+    val e = Seq((2L, 3L), (3L, 2L), (0L, 2L), (1L, 0L), (3L, 4L), (4L, 5L),
+      (0L, 6L), (7L, 8L)).toDF("src", "dst")
+    val res = BowTie.run(spark, e, numPartitions = 4)
+    assert(res.coreId == 2L)
+    val got = res.classes.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "core", 3L -> "core", 0L -> "in", 1L -> "in",
+      4L -> "out", 5L -> "out", 6L -> "other", 7L -> "other", 8L -> "other"))
+  }
+
+  test("SCC: a single directed cycle is one component keyed by its min vertex") {
+    val n = 5
+    val e = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("src", "dst")
+    val got = SCC.run(spark, e, numPartitions = 4).components
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0 until n).map(i => i.toLong -> 0L).toMap)
+  }
+
   test("Personalized PageRank with the full vertex set as seeds equals plain PageRank") {
     val adj = Adjacency.build(prEdges.toDF("src", "dst"), 5, 4)
     val plain = PageRank.run(spark, adj, damping = 0.85, tol = 0.0, maxIter = 8)
