@@ -4,50 +4,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Ckpt
 
-final case class SCCResult(components: DataFrame, rounds: Int)
+final case class SCCResult(components: DataFrame, rounds: Int,
+                           colorIters: Int = 0, markIters: Int = 0)
 
 /** Strongly connected components of a DIRECTED graph by trim + forward
-  * min-coloring + backward marking (Orzan's coloring algorithm with the
-  * Trim step of FW-BW-Trim; Slota/Rajamanickam/Madduri's multistep method
-  * is the same skeleton) — the standard data-parallel SCC, and the core of
-  * the classic web-graph bow-tie decomposition (giant SCC / IN / OUT).
+  * min-coloring + backward min-coloring (Orzan's coloring algorithm with
+  * the Trim step of FW-BW-Trim; Slota/Rajamanickam/Madduri's multistep
+  * method is the same skeleton) — the standard data-parallel SCC, and the
+  * core of the classic web-graph bow-tie decomposition.
   *
   * Per outer round, over the still-unassigned subgraph:
   *  1. TRIM: a vertex with no in-edge or no out-edge inside the subgraph is
   *     a singleton SCC (it cannot lie on a cycle) — one distinct each way;
   *     on web graphs this strips the tendril mass cheaply.
-  *  2. COLOR: propagate c(v) = min(c(v), min_{(u,v)∈E} c(u)) to fixpoint —
-  *     c(v) = the smallest vertex that reaches v. Each step is the same
-  *     shape as one FastSV gather: equi-join on the src-partitioned edge
-  *     state + hash agg on dst, change flag fused into the state
-  *     materialization job (one job per step).
+  *  2. COLOR: c(v) = min vertex that reaches v, via [[MinReach]] — one
+  *     edge-relax hop + one pointer jump per materialized job (32 → 7 jobs
+  *     on the bench fixture vs plain relaxation).
   *  3. MARK: every color class c contains its eponymous root (c(c) = c, by
-  *     minimality); SCC(root) = vertices of the class that reach the root.
-  *     Any v→…→root path inside the class stays inside the class (an
-  *     intermediate u is reached by c and reaches the root, so c(u) < c
-  *     would contradict c(root) = c), so marking propagates along
-  *     INTRA-CLASS edges only: one equi-join per step against the
-  *     dst-partitioned intra-class edge set; the set is monotone, so the
-  *     fixpoint check is the row count, fused into the materialization.
+  *     minimality — class members are all ≥ their root), and SCC(root) =
+  *     class vertices that reach the root. Any v→…→root path inside the
+  *     class stays inside the class (an intermediate u is reached by c and
+  *     reaches the root, so c(u) < c would contradict c(root) = c), so the
+  *     test runs on INTRA-CLASS edges only: compute c_b(v) = min class
+  *     vertex reachable FROM v ([[MinReach]] on the reversed intra-class
+  *     edges — same pointer-jump acceleration) and mark where c_b(v) =
+  *     c(v): the min vertex v reaches inside its class is the root iff v
+  *     reaches the root.
   *  4. Assign scc = color for marked vertices; peel them and repeat.
   *
   * Outer rounds = length of the longest SCC chain not absorbed by trim
   * (worst case O(V) on a path graph — which trim dissolves from the ends
-  * instead; real web graphs take a handful of rounds). Every step is an
+  * instead; real web graphs take a handful of rounds). Round-boundary
+  * state lives in FLAT Ckpt rewraps (not DataFrame persist): a persisted
+  * DF's lineage would reach back through the PREVIOUS round's released
+  * Ckpt rdds, and any later cache rebuild (AQE re-plan, eviction,
+  * non-cascading unpersist of an upstream) then recomputes a destroyed
+  * localCheckpoint — flat scans have no lineage. Every step is an
   * equi-join + aggregation over co-partitioned state; the only driver-side
-  * values are the per-step scalar counts. Vertices still unassigned when
-  * `maxRounds` hits are absent from the output (document-by-count: callers
-  * compare `components.count()` to their vertex count).
+  * values are the per-job fused scalar sums. Vertices still unassigned
+  * when `maxRounds` hits are absent from the output (document-by-count:
+  * callers compare `components.count()` to their vertex count).
   */
 object SCC {
 
   def run(spark: SparkSession, edges: DataFrame, numPartitions: Int,
           maxRounds: Int = 64, maxColorIters: Int = 256): SCCResult = {
-    // round-boundary state lives in FLAT Ckpt rewraps (not DataFrame
-    // persist): a persisted DF's lineage would reach back through the
-    // PREVIOUS round's released Ckpt rdds, and any later cache rebuild
-    // (AQE re-plan, eviction, non-cascading unpersist of an upstream) then
-    // recomputes a destroyed localCheckpoint — flat scans have no lineage
     var eState = Ckpt.materialize(edges.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src")))
     var vState = Ckpt.materialize(eState.df.select(col("src").as("id"))
@@ -55,9 +56,13 @@ object SCC {
       .repartition(numPartitions, col("id")))
     var nVerts = vState.df.count()
 
+    val nTotal = nVerts
+
     var assigned = Ckpt.materialize(
       spark.range(0).select(col("id"), col("id").as("scc")))
     var rounds = 0
+    var totalColorIters = 0
+    var totalMarkIters = 0
 
     while (nVerts > 0 && rounds < maxRounds) {
       val e = eState.df
@@ -71,106 +76,96 @@ object SCC {
         .distinct()
         .select(col("id"), col("id").as("scc"))
 
-      // ---- 2. forward min-coloring to fixpoint --------------------------
+      // ---- 2. forward min-coloring (accelerated fixpoint) ---------------
       val live = verts.join(trimmed.select("id"), Seq("id"), "left_anti")
-      // partitioned+sorted on src, the per-step join key (the dst-side hash
-      // agg is the step's one unavoidable shuffle, exactly as in FastSV)
-      val eLive = e
+      // flat Ckpt rewrap, NOT .persist(): an InMemoryRelation on the
+      // per-iteration hot path pays a TableCacheQueryStage per AQE job; the
+      // rewrap scans a plain persisted RDD and DECLARES the hash
+      // partitioning + sort, so each fixpoint hop joins it zero-exchange
+      // (same discipline as PageRank's adjacency)
+      val eLiveState = Ckpt.materialize(e
         .join(trimmed.select(col("id").as("src")), Seq("src"), "left_anti")
         .join(trimmed.select(col("id").as("dst")), Seq("dst"), "left_anti")
         .select(col("src"), col("dst"))
         .repartition(numPartitions, col("src"))
-        .sortWithinPartitions("src").persist()
-      eLive.count()
+        .sortWithinPartitions("src"))
+      val eLive = eLiveState.df
 
-      var cState = Ckpt.materialize(
-        live.select(col("id"), col("id").as("c"))
-          .repartition(numPartitions, col("id")))
-      var changed = true
-      var inner = 0
-      while (changed && inner < maxColorIters) {
-        val c = cState.df
-        val cu = c.select(col("id").as("_u"), col("c").as("_cu"))
-        val upd = eLive.join(cu, col("src") === col("_u"))
-          .groupBy(col("dst").as("id")).agg(min(col("_cu")).as("_m"))
-        val next = c.join(upd, Seq("id"), "left")
-          .select(col("id"),
-            least(col("c"), coalesce(col("_m"), col("c"))).as("c"),
-            when(col("_m") < col("c"), 1.0).otherwise(0.0).as("_chg"))
-        val (nextState, nChanged) = Ckpt.materializeWithSum(next, "_chg")
-        cState.release()
-        cState = nextState
-        changed = nChanged > 0
-        inner += 1
-      }
+      val (cState, cIters) = MinReach.minReachColor(
+        live.select(col("id"), col("id").as("c")), eLive, numPartitions,
+        maxIters = maxColorIters, debugTag = "scc-color")
+      totalColorIters += cIters
       val colors = cState.df
 
-      // ---- 3. backward marking along intra-class edges ------------------
+      // ---- 3. backward min-coloring on intra-class edges ----------------
       val cs = colors.select(col("id").as("_s"), col("c").as("_cs"))
       val cd = colors.select(col("id").as("_d"), col("c").as("_cd"))
-      val intra = eLive
+      // REVERSED intra-class edges, partitioned on the new src (= old dst),
+      // the backward gather's join key
+      val intraState = Ckpt.materialize(eLive
         .join(cs, col("src") === col("_s"))
         .join(cd, col("dst") === col("_d"))
         .filter(col("_cs") === col("_cd"))
-        .select(col("src"), col("dst"))
-        .repartition(numPartitions, col("dst"))
-        .sortWithinPartitions("dst").persist()
-      intra.count()
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .repartition(numPartitions, col("src"))
+        .sortWithinPartitions("src"))
 
-      var mState = Ckpt.materialize(
-        colors.filter(col("id") === col("c")).select(col("id"))
-          .repartition(numPartitions, col("id")))
-      var nMarked = mState.df.count()
-      var grew = true
-      while (grew) {
-        val m = mState.df.select("id")
-        val grown = intra.join(m, intra("dst") === m("id"))
-          .select(col("src").as("id"))
-          .unionByName(m).distinct()
-          .repartition(numPartitions, col("id"))
-        // monotone set: fixpoint == unchanged count, fused into the job
-        val (next, n2d) = Ckpt.materializeWithSum(
-          grown.select(col("id"), lit(1.0).as("_chg")), "_chg")
-        mState.release()
-        mState = next
-        grew = n2d.toLong > nMarked
-        nMarked = n2d.toLong
-      }
+      val (bState, mIters) = MinReach.minReachColor(
+        colors.select(col("id"), col("id").as("c")), intraState.df,
+        numPartitions, maxIters = maxColorIters, debugTag = "scc-mark")
+      totalMarkIters += mIters
 
-      val sccOfMarked = mState.df.select("id").join(colors, "id")
+      val cb = bState.df.select(col("id"), col("c").as("_cb"))
+      val sccOfMarked = colors.join(cb, Seq("id"))
+        .filter(col("_cb") === col("c"))
         .select(col("id"), col("c").as("scc"))
 
       // ---- 4. assign and peel ------------------------------------------
       val newAssigned = Ckpt.materialize(
         assigned.df.unionByName(trimmed).unionByName(sccOfMarked))
-      // peel with THIS round's assignments only (earlier rounds are already
-      // out of the state) — the anti-join build side stays round-sized
-      val peeled = trimmed.select("id").unionByName(sccOfMarked.select("id"))
+      // common last-round exit: everything assigned → skip building (and
+      // shuffling) a next-round vertex/edge state that would be empty. The
+      // count scans the just-materialized flat rdd — one cheap job replaces
+      // four (newV/newE materializations + their counts).
+      if (newAssigned.df.count() == nTotal) {
+        eLiveState.release(); intraState.release()
+        cState.release(); bState.release()
+        assigned.release()
+        assigned = newAssigned
+        nVerts = 0
+        rounds += 1
+      } else {
+        // peel with THIS round's assignments only (earlier rounds are
+        // already out of the state) — the anti-join build side stays
+        // round-sized
+        val peeled = trimmed.select("id").unionByName(sccOfMarked.select("id"))
 
-      val newVState = Ckpt.materialize(
-        verts.join(peeled, Seq("id"), "left_anti")
-          .repartition(numPartitions, col("id")))
-      val newEState = Ckpt.materialize(e
-        .join(peeled.select(col("id").as("src")), Seq("src"), "left_anti")
-        .join(peeled.select(col("id").as("dst")), Seq("dst"), "left_anti")
-        .select(col("src"), col("dst"))
-        .repartition(numPartitions, col("src")))
-      val nv = newVState.df.count()
+        val newVState = Ckpt.materialize(
+          verts.join(peeled, Seq("id"), "left_anti")
+            .repartition(numPartitions, col("id")))
+        val newEState = Ckpt.materialize(e
+          .join(peeled.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(peeled.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+          .repartition(numPartitions, col("src")))
+        val nv = newVState.df.count()
 
-      Seq(eLive, intra).foreach(_.unpersist(blocking = false))
-      cState.release()
-      mState.release()
-      assigned.release()
-      eState.release()
-      vState.release()
-      assigned = newAssigned
-      eState = newEState
-      vState = newVState
-      nVerts = nv
-      rounds += 1
+        eLiveState.release()
+        intraState.release()
+        cState.release()
+        bState.release()
+        assigned.release()
+        eState.release()
+        vState.release()
+        assigned = newAssigned
+        eState = newEState
+        vState = newVState
+        nVerts = nv
+        rounds += 1
+      }
     }
     eState.release()
     vState.release()
-    SCCResult(assigned.df, rounds)
+    SCCResult(assigned.df, rounds, totalColorIters, totalMarkIters)
   }
 }
