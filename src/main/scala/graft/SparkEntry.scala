@@ -786,6 +786,25 @@ object SparkEntry {
         UrlOps.pathDepth(raw).as("depth"),
         UrlOps.normalize(raw).as("url_norm"))
     }),
+    "gopher_repetition" -> ((s, d) =>
+      TextOps.gopherRepetition(t(s, d, "documents"))),
+    "pii_scrub" -> ((s, d) => {
+      // deterministic PII synthesis: the corpus text is synthetic words, so
+      // plant an email / phone / IPv4 on id-modulus schedules (both sides
+      // construct the identical string) — every redaction branch fires
+      val id = col("doc_id")
+      val t2 = org.apache.spark.sql.functions.concat(col("text"),
+        when(id % 3 === 0, org.apache.spark.sql.functions.concat(
+          lit(" contact user"), id.cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(id % 5 === 0, org.apache.spark.sql.functions.concat(
+          lit(" call +1-555-"), lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 7 === 0, org.apache.spark.sql.functions.concat(
+          lit(" from 10.0."), (id % 256).cast("string"), lit("."),
+          (id % 100).cast("string"))).otherwise(lit("")))
+      TextOps.piiScrub(t(s, d, "documents").select(id, t2.as("text")))
+    }),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshCandidates(t(s, d, "documents"))),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
@@ -1435,6 +1454,59 @@ object SparkEntry {
          |SELECT id AS doc_id, min(lbl) AS cluster_id,
          |  CAST(min(lbl) = id AS BIGINT) AS is_canonical
          |FROM r GROUP BY id""".stripMargin,
+
+    "gopher_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |      unnest([toks[i] || chr(1) || toks[i+1]
+        |              FOR i IN range(1, len(toks))]) AS g
+        |      FROM t WHERE len(toks) >= 2),
+        |tg AS (SELECT doc_id,
+        |      unnest([toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]
+        |              FOR i IN range(1, len(toks) - 1)]) AS g
+        |      FROM t WHERE len(toks) >= 3),
+        |bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, sum(n) AS total, count(*) AS dist, max(n) AS top
+        |       FROM bc GROUP BY 1),
+        |tc AS (SELECT doc_id, g, count(*) AS n FROM tg GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, sum(n) AS total, count(*) AS dist
+        |       FROM tc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(1.0 - coalesce(CAST(ba.dist AS DOUBLE) / ba.total, 1.0), 6)
+        |    AS dup2_frac,
+        |  round(1.0 - coalesce(CAST(ta.dist AS DOUBLE) / ta.total, 1.0), 6)
+        |    AS dup3_frac,
+        |  round(coalesce(CAST(ba.top AS DOUBLE) / ba.total, 0.0), 6)
+        |    AS top2_frac
+        |FROM documents d
+        |LEFT JOIN ba ON ba.doc_id = d.doc_id
+        |LEFT JOIN ta ON ta.doc_id = d.doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH u AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+        |       ELSE '' END AS t2
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[+][0-9][0-9\-]{7,}[0-9]')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\b')) AS INT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[+][0-9][0-9\-]{7,}[0-9]', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\b', '<IP>', 'g')
+        |    AS text_scrubbed
+        |FROM u""".stripMargin,
 
     "minhash_signatures" -> minhashSql,
     "minhash_lsh_pairs" -> minhashLshSql,

@@ -95,4 +95,74 @@ object TextOps {
     docs.select(col("doc_id"),
       coalesce(graft.functions.CharEntropy(col("text")), lit(0.0))
         .as("char_entropy"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021, Table A1): fraction
+    * of duplicate word bigrams/trigrams and the share of the single most
+    * frequent bigram. High values flag boilerplate, templated spam, and
+    * degenerate repetition — the canonical cheap filters of every LLM data
+    * pipeline. Shape: posexplode + per-doc window leads (the shingle plan
+    * from Dedup, but with exact STRING n-grams — fractions must be exact
+    * for the oracle, and the (doc_id, gram) aggregation bounds rows at
+    * ≤ tokens-per-doc either way), then a two-level aggregation: counts per
+    * (doc, gram), then total/distinct/max per doc. Docs with fewer than
+    * n tokens score 0.0. Separator  cannot occur in " +"-split
+    * tokens, so gram strings are unambiguous. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val wnd = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = toks.select(col("doc_id"),
+      concat_ws("", col("tok"), lead("tok", 1).over(wnd)).as("bg"),
+      concat_ws("", col("tok"), lead("tok", 1).over(wnd),
+        lead("tok", 2).over(wnd)).as("tg"),
+      lead("tok", 1).over(wnd).isNotNull.as("_has2"),
+      lead("tok", 2).over(wnd).isNotNull.as("_has3"))
+    def fracs(gram: String, flag: String, pfx: String) = {
+      val perGram = grams.filter(col(flag))
+        .groupBy(col("doc_id"), col(gram)).agg(count(lit(1)).as("n"))
+      perGram.groupBy("doc_id").agg(
+        sum(col("n")).as(s"${pfx}_total"),
+        count(lit(1)).as(s"${pfx}_distinct"),
+        max(col("n")).as(s"${pfx}_top"))
+    }
+    val b = fracs("bg", "_has2", "b")
+    val t = fracs("tg", "_has3", "t")
+    docs.select(col("doc_id"))
+      .join(b, Seq("doc_id"), "left")
+      .join(t, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - coalesce(col("b_distinct").cast("double") /
+          col("b_total"), lit(1.0)), 6).as("dup2_frac"),
+        round(lit(1.0) - coalesce(col("t_distinct").cast("double") /
+          col("t_total"), lit(1.0)), 6).as("dup3_frac"),
+        round(coalesce(col("b_top").cast("double") / col("b_total"),
+          lit(0.0)), 6).as("top2_frac"))
+  }
+
+  /** PII detection + redaction: emails, phone-like digit runs, IPv4
+    * literals → `<EMAIL>`/`<PHONE>`/`<IP>` placeholders plus per-doc match
+    * counts. Pure regexp Column expressions in the Java-regex ∩ RE2 subset
+    * (no lookaround), so the DuckDB oracle runs the IDENTICAL patterns;
+    * redaction order is email → phone → ip (emails contain digit runs a
+    * later phone pass must not see). The usual caveat applies and is part
+    * of the contract: these are the standard high-precision crawl-pipeline
+    * patterns, not a full PII model. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val phoneRe = "[+][0-9][0-9\\-]{7,}[0-9]"
+  val ipRe = "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b"
+
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))).as("n_phone"),
+      size(regexp_extract_all(t, lit(ipRe), lit(0))).as("n_ip"),
+      scrubbed.as("text_scrubbed"))
+  }
 }

@@ -26,6 +26,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(5L) === 0.0)
   }
 
+  test("gopherRepetition: hand-computed duplicate-ngram fractions") {
+    val docs = Seq(
+      (1L, "a a a a"),    // bigrams: 3×"a a" -> dup2 = 1 - 1/3; trigrams 2×
+      (2L, "a b c d"),    // all distinct -> dup2 = dup3 = 0, top2 = 1/3
+      (3L, "x")           // no ngrams at all -> all 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRepetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((0.666667, 0.5, 1.0)))
+    assert(out(2L) === ((0.0, 0.0, 0.333333)))
+    assert(out(3L) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("piiScrub: counts and redacts email, phone, ipv4; order prevents " +
+    "the phone pass from eating email digits") {
+    val docs = Seq(
+      (1L, "mail a9_b@sub.example.org now"),
+      (2L, "dial +1-555-123-9876 or +49-30-1234567 thanks"),
+      (3L, "host 192.168.0.1 and 10.0.255.3"),
+      (4L, "none here"),
+      (5L, "u12345678@ex.co plus 999.999 but not 1.2.3")  // short ip-like: no match
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L) === ((1, 0, 0, "mail <EMAIL> now")))
+    assert(out(2L) === ((0, 2, 0, "dial <PHONE> or <PHONE> thanks")))
+    assert(out(3L) === ((0, 0, 2, "host <IP> and <IP>")))
+    assert(out(4L) === ((0, 0, 0, "none here")))
+    assert(out(5L) === ((1, 0, 0, "<EMAIL> plus 999.999 but not 1.2.3")))
+  }
+
   test("charEntropy matches a driver-side Shannon computation on real text") {
     val text = "the quick brown fox jumps over the lazy dog"
     val counts = TextOps.entropyChars.map(c => text.count(_ == c).toDouble)
