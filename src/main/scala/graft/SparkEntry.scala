@@ -220,6 +220,14 @@ object SparkEntry {
       // survivor set shrinks monotonically)
       KCore.run(s, edgesGSym(s, d), k = 95, parts(s), maxRounds = 8).core),
 
+    "ktruss" -> ((s, d) =>
+      // 3-round 16-truss peel (maxRounds matches the oracle's unroll; the
+      // bounded peel IS the deterministic R-round operator — see KTruss
+      // Scaladoc; the sbt test pins fixpoint semantics on a hand fixture).
+      // At sf0.01 the cascade is 111902 -> 74532 -> 19210 -> 460 sym edges,
+      // so all three support rounds do real work and the output is non-empty
+      KTruss.run(s, edgesGSym(s, d), k = 16, parts(s), maxRounds = 3).truss),
+
     "label_propagation" -> ((s, d) =>
       // 4 synchronous mode-LPA rounds (maxIter matches lpIterSql's unroll)
       LabelPropagation.run(s, edgesGSym(s, d), gmod(d), parts(s), maxIter = 4)
@@ -889,6 +897,8 @@ object SparkEntry {
     "label_propagation" -> lpIterSql(4),
 
     "kcore" -> kcoreSql(95, 8),
+
+    "ktruss" -> ktrussSql(16, 3),
 
     "bfs_levels" ->
       s"""WITH RECURSIVE base AS ($sqlEdges),
@@ -1654,6 +1664,27 @@ object SparkEntry {
        |$steps
        |SELECT src AS id, count(*) AS deg FROM e$rounds GROUP BY src"""
       .stripMargin
+  }
+
+  /** R unrolled k-truss peel rounds: per round, each surviving edge's
+    * triangle support within the current edge set (common-neighbor count
+    * via two self-joins — the plus_pair masked-SpGEMM recipe in SQL), then
+    * the < k-2 filter. Output = the final round's support rows, which is
+    * bit-identical to KTruss.run(maxRounds = R) (monotone shrink — see the
+    * KTruss Scaladoc early-stop note). */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val t = k - 2
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT e.src, e.dst, count(*) AS sup
+         |     FROM e${i - 1} e JOIN e${i - 1} x ON x.src = e.src
+         |     JOIN e${i - 1} y ON y.src = x.dst AND y.dst = e.dst
+         |     GROUP BY e.src, e.dst),
+         |e$i AS MATERIALIZED (SELECT src, dst FROM s$i WHERE sup >= $t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($sqlEdgesSym),
+       |$steps
+       |SELECT src, dst, sup FROM s$rounds WHERE sup >= $t""".stripMargin
   }
 
   /** K unrolled personalized-PageRank iterations: pagerankIterSql with the

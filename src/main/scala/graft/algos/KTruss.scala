@@ -1,0 +1,121 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Ckpt, CkptState}
+
+final case class KTrussResult(truss: DataFrame, rounds: Int)
+
+/** k-truss: the maximal subgraph in which every edge participates in at
+  * least k-2 triangles (its *support*), by synchronous peeling — per round,
+  * recompute every surviving edge's support within the current subgraph and
+  * drop the edges below k-2; fixpoint when the edge set stops shrinking.
+  *
+  * Semantically this is the GraphBLAS recipe (iterated masked plus_pair
+  * SpGEMM: support = C(A.S) << A @ A, the same kernel as
+  * `TriangleCount.support`), but the naive masked form extends every mask
+  * edge (u,v) by the full adjacency of u — Σ deg² wedge rows, 140M at the
+  * sf0.1 fixture (measured 72s for one round). The support kernel here is
+  * the degree-ORIENTED equivalent: orient each undirected edge from its
+  * smaller to larger endpoint under the total order (deg, id), enumerate
+  * each triangle exactly once at the unique corner whose two triangle
+  * edges both point out (the (deg,id)-minimum), then scatter +1 to the
+  * triangle's three canonical edges. Wedge volume falls to Σ deg⁺² with
+  * deg⁺ ≈ deg/2 on quasi-uniform graphs — ~4× less — and on power-law
+  * (web) graphs the win is asymptotic: deg⁺ is bounded by O(√E) for ANY
+  * graph, so hub vertices never fan out quadratically. Same trick family
+  * as Dedup's df-cap, but lossless.
+  *
+  * Per round (3 jobs): degrees + orientation from the persisted edge
+  * state; oriented wedge self-join (zero-exchange: o is hash-partitioned
+  * on its pivot `lo`); close against the canonical edge set; scatter union
+  * → one count aggregation; filter `>= k-2`; symmetrize back (support is
+  * symmetric, computed once per undirected edge).
+  *
+  * Early-stop note (same argument as KCore): the edge set only ever
+  * shrinks and each round is a deterministic function of the current set,
+  * so a converged run is bit-identical to any fixed larger unroll — which
+  * is what lets a fixed-round materialized-CTE SQL oracle check it. A
+  * bounded run (maxRounds below the fixpoint) is itself the deterministic
+  * "R-round peel", matching an R-step oracle unroll.
+  *
+  * Output: (src, dst, sup) of surviving (directed-symmetric) edges, sup =
+  * support within the subgraph of the LAST executed round.
+  */
+object KTruss {
+
+  /** exact per-edge triangle support of a symmetric edge set, oriented
+    * enumeration; returns CANONICAL rows (src < dst, sup >= 1 only) as a
+    * materialized flat CkptState (two plan branches read it downstream). */
+  private[graft] def supportCanon(edgesSym: DataFrame, numPartitions: Int): CkptState = {
+    val canon = edgesSym.filter(col("src") < col("dst"))
+    val deg = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    // orient lo→hi by (deg, id); ids are distinct so the order is total
+    val o = Ckpt.materialize(canon
+      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+      .select(
+        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
+          col("src")).otherwise(col("dst")).as("lo"),
+        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
+          col("dst")).otherwise(col("src")).as("hi"))
+      .repartition(numPartitions, col("lo")))
+    // each triangle {a,b,c} appears exactly once as a wedge b←a→c at its
+    // (deg,id)-minimum corner a, closed by the canonical edge {b,c}
+    val w = o.df.select(col("lo"), col("hi").as("b"))
+      .join(o.df.select(col("lo"), col("hi").as("c")), Seq("lo"))
+      .filter(col("b") < col("c"))
+    val tri = w.join(canon,
+      col("b") === col("src") && col("c") === col("dst"))
+      .select(col("lo").as("a"), col("b"), col("c"))
+    // scatter +1 to the three canonical edges of each triangle
+    val sup = Ckpt.materialize(
+      tri.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .unionAll(tri.select(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")))
+        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+        .select(col("u").as("src"), col("v").as("dst"), col("sup")))
+    o.release()
+    sup
+  }
+
+  def run(spark: SparkSession, edgesSym: DataFrame, k: Int,
+          numPartitions: Int, maxRounds: Int = 16): KTrussResult = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val minSup = k - 2
+    // all loop state lives in flat Ckpt rewraps: each round's support plan
+    // references the edge state ~6× (deg + canon×2 + wedge self-join), so
+    // raw lineage would grow ~6^rounds (observed: AQE explain-string OOM by
+    // round 4 on an 8-vertex fixture) — same finding as SCC, pinned there
+    var cur = Ckpt.materialize(edgesSym.select(col("src"), col("dst"))
+      .repartition(numPartitions, col("src")))
+    var nEdges = cur.df.count()
+    var rounds = 0
+    var converged = nEdges == 0L
+    var result = cur.df.withColumn("sup", lit(0L)).limit(0)
+    while (!converged && rounds < maxRounds) {
+      // a thin projection over the flat cached plan — the ~6 references
+      // inside supportCanon all re-scan the SAME cached leaf, depth O(1)
+      val edges = cur.df.select(col("src"), col("dst"))
+      val supC = supportCanon(edges, numPartitions)
+      val kept = supC.df.filter(col("sup") >= minSup)
+      // symmetrize: support is symmetric, computed once per undirected edge
+      val next = Ckpt.materialize(kept.unionByName(
+          kept.select(col("dst").as("src"), col("src").as("dst"), col("sup")))
+        .repartition(numPartitions, col("src")))
+      val n2 = next.df.count()
+      cur.release() // result_{r-1} shared these blocks; it's replaced below
+      supC.release()
+      cur = next
+      result = next.df
+      // monotone: equal count ⇒ equal set; empty ⇒ every further round is
+      // empty (both cases bit-identical to any larger unroll)
+      converged = n2 == nEdges || n2 == 0L
+      nEdges = n2
+      rounds += 1
+    }
+    // the final round's blocks stay cached: `result` is read from them
+    KTrussResult(result, rounds)
+  }
+}

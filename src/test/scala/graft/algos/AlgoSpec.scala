@@ -177,6 +177,32 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(KCore.run(spark, sym, k = 5, numPartitions = 4).core.count() == 0)
   }
 
+  test("KTruss keeps the clique, peels the weak triangle and tail; cascade reaches fixpoint") {
+    // 5-clique {0..4} + triangle {4,5,6} + pendant edge 6-7. In the 4-truss
+    // (support >= 2) the clique survives (every clique edge sits in 3
+    // triangles), the lone triangle's edges have support 1 and peel, and
+    // the pendant edge has support 0.
+    val clique = for { i <- 0L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val und = clique ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r4 = KTruss.run(spark, sym, k = 4, numPartitions = 4)
+    val got = r4.truss.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 20) // 10 undirected clique edges, both directions
+    assert(got.forall { case ((u, v), s) => u <= 4 && v <= 4 && s == 3 })
+
+    // cascading peel: remove clique edge (0,1) — edges at 0 and 1 drop to
+    // support 2 in round 1 of the 5-truss (need >= 3), and the surviving
+    // triangle {2,3,4} collapses in round 2; fixpoint is empty
+    val holed = (clique.filterNot(_ == (0L, 1L)) ++ Seq((4L, 5L), (4L, 6L), (5L, 6L)))
+    val symH = (holed ++ holed.map(_.swap)).toDF("src", "dst")
+    val r5 = KTruss.run(spark, symH, k = 5, numPartitions = 4)
+    assert(r5.truss.count() == 0 && r5.rounds >= 2)
+
+    // k-truss of the intact clique at k=5 (support >= 3): exactly the clique
+    val r5c = KTruss.run(spark, sym, k = 5, numPartitions = 4)
+    assert(r5c.truss.count() == 20)
+  }
+
   test("Adamic-Adar: hand-computed scores on a 4-node graph; center cap drops hub wedges") {
     // undirected {0-1, 1-2, 0-2, 2-3}: the only non-adjacent pairs are (0,3)
     // and (1,3), each with the single common neighbor 2 (deg 3)
