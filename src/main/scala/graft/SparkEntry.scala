@@ -236,6 +236,11 @@ object SparkEntry {
     "bfs_levels" -> ((s, d) =>
       BFS.levels(s, edgesG(s, d), 0, maxDepth = 15)),
 
+    "msbfs_levels" -> ((s, d) =>
+      // 4 sources ride ONE packed 64-bit frontier: one gather join per level
+      // regardless of source count (the point of batched BFS at web scale)
+      MSBFS.levels(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15)),
+
     "pagerank_iter5" -> ((s, d) => {
       val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
       PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 5)
@@ -908,6 +913,17 @@ object SparkEntry {
          |  SELECT e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
          |)
          |SELECT id, min(d) AS level FROM r GROUP BY id""".stripMargin,
+
+    "msbfs_levels" ->
+      s"""WITH RECURSIVE base AS ($sqlEdges),
+         |src(s) AS (SELECT CAST(x AS BIGINT) FROM generate_series(0, 3) AS g(x)),
+         |r(source, id, d) AS (
+         |  SELECT s, s, CAST(0 AS BIGINT) FROM src
+         |  UNION
+         |  SELECT r.source, e.dst, r.d + 1
+         |  FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
+         |)
+         |SELECT source, id, min(d) AS level FROM r GROUP BY source, id""".stripMargin,
 
     "pagerank_iter5" -> pagerankIterSql(5),
 

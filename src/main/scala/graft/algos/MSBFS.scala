@@ -1,0 +1,83 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Ckpt, CkptState}
+
+/** Multi-source BFS with a packed 64-bit frontier: up to 64 independent BFS
+  * traversals ride ONE wave — the GraphBLAS boolean n×k matrix BFS
+  * (`lor_land` semiring over an n×k frontier, reference
+  * `notebooks/Example B.1` generalized to a matrix frontier) with the k
+  * frontier columns packed into a single long column. The ⊕ = lor of the
+  * semiring becomes one `bit_or` hash aggregation per wave, and the
+  * structural-complement mask (`~visited`) becomes `gathered & ~visited`
+  * bit arithmetic — so k traversals cost ONE gather join per level instead
+  * of k, the entire point of batching BFS at web scale (the edge relation
+  * is scanned once per level regardless of source count).
+  *
+  * Per level (2 jobs): frontier ⋈ edges on src (edges persisted
+  * pre-partitioned+sorted on src, zero-exchange on the edge side) →
+  * `bit_or` partial/final agg on dst → left-join visited for the complement
+  * mask; newly-set bits are decoded to (id, source, level) rows by a
+  * broadcast theta-join against the ≤64-row source map (codegen bit test,
+  * no per-bit row blowup for unset bits).
+  *
+  * Output: (source, id, level) — exact shortest hop counts from each
+  * source, one row per reached (source, vertex) pair.
+  */
+object MSBFS {
+
+  def levels(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+             maxDepth: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(sources.nonEmpty && sources.size <= 64,
+      s"1..64 sources per packed wave, got ${sources.size}")
+    require(sources.distinct.size == sources.size, "sources must be distinct")
+    val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
+    e.count()
+    // bit index -> source vertex (tiny, broadcast into every decode join)
+    val srcMap = broadcast(
+      sources.zipWithIndex.map { case (v, i) => (i, v) }.toDF("sidx", "source"))
+    var visited = Ckpt.materialize(
+      sources.zipWithIndex.map { case (v, i) => (v, 1L << i) }.toDF("id", "mask"))
+    var levels = Ckpt.materialize(
+      sources.map(v => (v, v, 0L)).toDF("source", "id", "level"))
+    var frontier = visited.df // (id, mask): level-0 frontier = the sources
+    var lastNext: Option[CkptState] = None
+    var depth = 0L
+    var frontierSize = sources.size.toLong
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      // one wave: gather = A'(lor_land) over the packed frontier, then the
+      // complement mask as bit arithmetic on the visited join
+      val next = Ckpt.materialize(
+        e.join(frontier.select(col("id"), col("mask").as("fmask")),
+            e("src") === col("id"))
+          .groupBy(e("dst").as("gid"))
+          .agg(expr("bit_or(fmask)").as("gmask"))
+          .join(visited.df, col("gid") === visited.df("id"), "left")
+          .select(col("gid").as("id"),
+            col("gmask").bitwiseAND(
+              bitwise_not(coalesce(col("mask"), lit(0L)))).as("mask"))
+          .filter(col("mask") =!= 0L))
+      frontierSize = next.df.count()
+      val newVisited = Ckpt.materialize(
+        visited.df.unionByName(next.df)
+          .groupBy("id").agg(expr("bit_or(mask)").as("mask")))
+      val decoded = next.df.join(srcMap,
+          expr("(shiftright(mask, CAST(sidx AS INT)) & 1) = 1"))
+        .select(col("source"), col("id"), lit(depth).as("level"))
+      val newLevels = Ckpt.materialize(levels.df.unionByName(decoded))
+      visited.release(); levels.release()
+      lastNext.foreach(_.release())
+      lastNext = Some(next)
+      visited = newVisited
+      levels = newLevels
+      frontier = next.df
+    }
+    lastNext.foreach(_.release())
+    e.unpersist()
+    visited.release()
+    levels.df
+  }
+}

@@ -165,6 +165,28 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("MSBFS packed wave agrees with per-source BFS; unreachable pairs absent") {
+    // pr demo graph + a disconnected edge 7->8: source 7 reaches only {7,8},
+    // and no source in the pr component reaches 7 or 8
+    val edges = (prEdges ++ Seq((7L, 8L))).toDF("src", "dst")
+    val sources = Seq(0L, 3L, 7L)
+    val got = MSBFS.levels(spark, edges, sources, maxDepth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = sources.flatMap { s =>
+      BFS.levels(spark, edges, s, 10).collect()
+        .map(r => (s, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(got == want)
+    assert(!got.contains((0L, 7L)) && got((7L, 8L)) == 1L)
+    // 64 sources in one wave still decode correctly (full mask width)
+    val ring = (0L until 64L).map(i => (i, (i + 1) % 64)).toDF("src", "dst")
+    val all = MSBFS.levels(spark, ring, 0L until 64L, maxDepth = 70)
+    assert(all.count() == 64L * 64)
+    val l = all.filter(col("source") === 63 && col("id") === 0)
+      .collect()(0).getLong(2)
+    assert(l == 1L)
+  }
+
   test("KCore peels pendant chains, keeps the triangle, reports core degrees") {
     // triangle 0-1-2 with a pendant chain 2-3-4: the 2-core is the triangle
     // (3 and then 4 peel over two cascading rounds)
