@@ -241,6 +241,17 @@ object SparkEntry {
       // regardless of source count (the point of batched BFS at web scale)
       MSBFS.levels(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15)),
 
+    "harmonic_centrality" -> ((s, d) =>
+      // seed-sampled harmonic centrality from the same packed wave; ≤64
+      // 1/level terms per vertex so 1e-9 rounding is deterministic
+      MSBFS.harmonic(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15)
+        .select(col("id"), round(col("harmonic"), 9).as("harmonic"))),
+
+    "random_walks" -> ((s, d) =>
+      // 8-step deterministic walk corpus, one walk per vertex; the oracle
+      // replays the exact next-hop arithmetic (see RandomWalk Scaladoc)
+      RandomWalk.corpus(s, edgesG(s, d), walkLength = 8, parts(s))),
+
     "pagerank_iter5" -> ((s, d) => {
       val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
       PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 5)
@@ -924,6 +935,21 @@ object SparkEntry {
          |  FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
          |)
          |SELECT source, id, min(d) AS level FROM r GROUP BY source, id""".stripMargin,
+
+    "harmonic_centrality" ->
+      s"""WITH RECURSIVE base AS ($sqlEdges),
+         |src(s) AS (SELECT CAST(x AS BIGINT) FROM generate_series(0, 3) AS g(x)),
+         |r(source, id, d) AS (
+         |  SELECT s, s, CAST(0 AS BIGINT) FROM src
+         |  UNION
+         |  SELECT r.source, e.dst, r.d + 1
+         |  FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
+         |),
+         |lv AS (SELECT source, id, min(d) AS level FROM r GROUP BY source, id)
+         |SELECT id, round(sum(1.0 / level), 9) AS harmonic
+         |FROM lv WHERE level > 0 GROUP BY id""".stripMargin,
+
+    "random_walks" -> walkSql(8),
 
     "pagerank_iter5" -> pagerankIterSql(5),
 
@@ -1701,6 +1727,33 @@ object SparkEntry {
     s"""WITH e0 AS MATERIALIZED ($sqlEdgesSym),
        |$steps
        |SELECT src, dst, sup FROM s$rounds WHERE sup >= $t""".stripMargin
+  }
+
+  /** `len` unrolled deterministic-walk steps: per step, each walker's
+    * next hop is the out-neighbor minimizing the same mixed-congruential
+    * score RandomWalk computes (pure positive BIGINT arithmetic — bit-equal
+    * in both engines), ties broken by min dst via the row_number ORDER BY. */
+  private def walkSql(len: Int): String = {
+    val steps = (1 to len).map { t =>
+      val stepC = t * 1013904223L % 2147483647L
+      s"""w$t AS MATERIALIZED (
+         |  SELECT walk, CAST($t AS BIGINT) AS step, id FROM (
+         |    SELECT w.walk, e.dst AS id,
+         |      row_number() OVER (PARTITION BY w.walk ORDER BY
+         |        ((w.walk * 2654435761) % 2147483647 +
+         |         (w.id * 40503) % 2147483647 +
+         |         (e.dst * 69069) % 2147483647 + $stepC) % 2147483647,
+         |        e.dst) AS rn
+         |    FROM w${t - 1} w JOIN base e ON e.src = w.id) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (0 to len).map(t => s"SELECT walk, step, id FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH base AS MATERIALIZED ($sqlEdges),
+       |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk,
+       |  CAST(0 AS BIGINT) AS step, src AS id FROM base),
+       |$steps
+       |$sel""".stripMargin
   }
 
   /** K unrolled personalized-PageRank iterations: pagerankIterSql with the

@@ -80,4 +80,20 @@ object MSBFS {
     visited.release()
     levels.df
   }
+
+  /** Seed-sampled harmonic centrality (Boldi–Vigna, "Axioms for
+    * centrality" — the HyperBall estimand): H_S(v) = Σ_{s∈S, d(s,v)>0}
+    * 1/d(s,v) over a fixed source sample S. At web scale the exact
+    * all-sources sum is replaced by a sampled one; this operator computes
+    * the exact per-sample term — one packed MSBFS wave per ≤64 sources,
+    * then a single hash aggregation over the (source, id, level) rows.
+    * Unreached (s,v) pairs contribute 0 (the reason harmonic, not
+    * closeness, is the web-graph centrality of choice: it handles
+    * disconnectedness without an ∞). */
+  def harmonic(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+               maxDepth: Int = 64): DataFrame =
+    levels(spark, edges, sources, maxDepth)
+      .filter(col("level") > 0)
+      .groupBy("id")
+      .agg(sum(lit(1.0) / col("level")).as("harmonic"))
 }

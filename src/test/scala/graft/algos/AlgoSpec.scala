@@ -187,6 +187,52 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(l == 1L)
   }
 
+  test("Harmonic centrality: hand-computed seed-sampled sums on the pr demo graph") {
+    // distances on the demo digraph: from 0 → {1:1, 2:1, 3:2, 4:2};
+    // from 1 → {3:1, 4:2, 0:3, 2:4}. H_{0,1}(v) = Σ 1/d over positive d.
+    val got = MSBFS.harmonic(spark, prEdges.toDF("src", "dst"), Seq(0L, 1L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Map(0L -> 1.0 / 3, 1L -> 1.0, 2L -> 1.25, 3L -> 1.5, 4L -> 1.0)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12) }
+  }
+
+  test("RandomWalk: edges respected, argmin hop replayed, sinks stop, reruns identical") {
+    val edges = prEdges.toDF("src", "dst")
+    val rows = RandomWalk.corpus(spark, edges, walkLength = 6, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWalk = rows.groupBy(_._1).map { case (w, rs) =>
+      w -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    // every start vertex walks the full length (no sinks in the demo graph),
+    // every consecutive pair is an edge, and each hop is the score-argmin
+    val eSet = prEdges.toSet
+    val adj = prEdges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val M = 2147483647L
+    def h(w: Long, t: Int, u: Long, d: Long) =
+      ((w * 2654435761L) % M + (u * 40503L) % M + (d * 69069L) % M +
+        t * 1013904223L % M) % M
+    assert(byWalk.keySet == prEdges.map(_._1).toSet)
+    byWalk.foreach { case (w, path) =>
+      assert(path.head == w && path.size == 7)
+      path.sliding(2).zipWithIndex.foreach { case (Seq(u, v), i) =>
+        assert(eSet.contains((u, v)))
+        val want = adj(u).minBy(d => (h(w, i + 1, u, d), d))
+        assert(v == want, s"walk $w step ${i + 1} at $u: got $v want $want")
+      }
+    }
+    // a rerun regenerates the corpus bit-identically (the 100-TB property)
+    val again = RandomWalk.corpus(spark, edges, walkLength = 6, numPartitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // walkers stop at sinks: 0 -> 1 -> 2 (sink) ends at step 2
+    val chain = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val c = RandomWalk.corpus(spark, chain, walkLength = 5, numPartitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c == Set((0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 1L), (1L, 1L, 2L)))
+  }
+
   test("KCore peels pendant chains, keeps the triangle, reports core degrees") {
     // triangle 0-1-2 with a pendant chain 2-3-4: the 2-core is the triangle
     // (3 and then 4 peel over two cascading rounds)
