@@ -44,10 +44,13 @@ final case class KTrussResult(truss: DataFrame, rounds: Int)
   */
 object KTruss {
 
-  /** exact per-edge triangle support of a symmetric edge set, oriented
-    * enumeration; returns CANONICAL rows (src < dst, sup >= 1 only) as a
-    * materialized flat CkptState (two plan branches read it downstream). */
-  private[graft] def supportCanon(edgesSym: DataFrame, numPartitions: Int): CkptState = {
+  /** Degree-oriented triangle enumeration: each triangle {a,b,c} of the
+    * symmetric edge set exactly ONCE as (a, b, c) with a the (deg,id)-min
+    * corner and b < c. Returns (tri, orientationState) — the caller must
+    * release the state after consuming tri. Shared by the per-edge support
+    * (below) and `TriangleCount.count`. */
+  private[algos] def orientedTriangles(edgesSym: DataFrame,
+                                       numPartitions: Int): (DataFrame, CkptState) = {
     val canon = edgesSym.filter(col("src") < col("dst"))
     val deg = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
@@ -69,6 +72,14 @@ object KTruss {
     val tri = w.join(canon,
       col("b") === col("src") && col("c") === col("dst"))
       .select(col("lo").as("a"), col("b"), col("c"))
+    (tri, o)
+  }
+
+  /** exact per-edge triangle support of a symmetric edge set, oriented
+    * enumeration; returns CANONICAL rows (src < dst, sup >= 1 only) as a
+    * materialized flat CkptState (two plan branches read it downstream). */
+  private[graft] def supportCanon(edgesSym: DataFrame, numPartitions: Int): CkptState = {
+    val (tri, o) = orientedTriangles(edgesSym, numPartitions)
     // scatter +1 to the three canonical edges of each triangle
     val sup = Ckpt.materialize(
       tri.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))

@@ -17,22 +17,27 @@ import graft.core.{GrbMask, GrbMatrix, GrbShape, Ops}
   */
 object TriangleCount {
 
-  /** edgesSym: symmetric deduplicated (src, dst), no self-loops. */
+  /** edgesSym: symmetric deduplicated (src, dst), no self-loops.
+    *
+    * Counts via the degree-ORIENTED enumeration (KTruss.orientedTriangles):
+    * each triangle exactly once at its (deg,id)-minimum corner. The id-tril
+    * masked form this replaces bounds the wedge intermediate by
+    * Σ wedges-over-L, which on power-law web graphs still lets a high-id
+    * hub fan out over its full lower neighborhood; orienting by DEGREE
+    * bounds every vertex's fan-out by O(√E) — the same count, an
+    * asymptotically smaller join (measured 143.9M → 21.9M wedge rows at
+    * the sf0.1 symmetric fixture in the KTruss work). */
   def count(edgesSym: DataFrame): Long = {
-    // L appears three times in the join — cache it so the (possibly derived)
-    // edge input is scanned and deduplicated once, not three times
-    val l = edgesSym.filter(col("src") > col("dst"))
-      .select(col("src"), col("dst")).persist()
+    val parts = edgesSym.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // the (possibly derived) symmetric input feeds three plan branches
+    // (degrees, orientation, close join) — scan and deduplicate it once
+    val e = edgesSym.select(col("src"), col("dst")).persist()
+    e.count()
     try {
-      // mask-first: for each mask edge (i,j) in L, count common lower
-      // neighbors k (k<j<i): L(i,k) ∧ L(j,k).
-      val m = l.select(col("src").as("_i"), col("dst").as("_j"))
-      val a = l.select(col("src").as("_i"), col("dst").as("_k"))
-      val b = l.select(col("src").as("_j2"), col("dst").as("_k2"))
-      m.join(a, "_i")
-        .join(b, col("_j") === col("_j2") && col("_k") === col("_k2"))
-        .count()
-    } finally l.unpersist(false)
+      val (tri, o) = KTruss.orientedTriangles(e, parts)
+      try tri.count() finally o.release()
+    } finally e.unpersist(false)
   }
 
   /** Per-edge triangle support: the masked plus_pair square itself,
