@@ -252,6 +252,12 @@ object SparkEntry {
       // replays the exact next-hop arithmetic (see RandomWalk Scaladoc)
       RandomWalk.corpus(s, edgesG(s, d), walkLength = 8, parts(s))),
 
+    "betweenness" -> ((s, d) =>
+      // 4-seed Brandes sample, radius-6 (≥ the fixture's eccentricity, so
+      // exact for these seeds); σ is exact BIGINT, δ rounded at 1e-6
+      Betweenness.run(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 6)
+        .select(col("id"), round(col("bc"), 6).as("bc"))),
+
     "pagerank_iter5" -> ((s, d) => {
       val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
       PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 5)
@@ -732,6 +738,10 @@ object SparkEntry {
     // ===== training-data pipeline: dedup / text / similarity =====
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+
+    "bm25_score" -> ((s, d) =>
+      TextOps.bm25(t(s, d, "documents"), Seq("spark", "join", "table"))
+        .select(col("doc_id"), round(col("bm25"), 9).as("bm25"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
@@ -950,6 +960,8 @@ object SparkEntry {
          |FROM lv WHERE level > 0 GROUP BY id""".stripMargin,
 
     "random_walks" -> walkSql(8),
+
+    "betweenness" -> bcSql(6, 4),
 
     "pagerank_iter5" -> pagerankIterSql(5),
 
@@ -1347,6 +1359,24 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
         |FROM documents""".stripMargin,
+
+    "bm25_score" ->
+      """WITH dl AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), ' +')) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'table') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |    * tf.tf * (1.2 + 1)
+        |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 9) AS bm25
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id""".stripMargin,
 
     "quality_score" ->
       """WITH b AS (SELECT doc_id, text,
@@ -1754,6 +1784,48 @@ object SparkEntry {
        |  CAST(0 AS BIGINT) AS step, src AS id FROM base),
        |$steps
        |$sel""".stripMargin
+  }
+
+  /** Radius-R Brandes betweenness from seeds 0..nSeeds-1, fully unrolled:
+    * forward levels f1..fR carry exact BIGINT path counts σ (NOT EXISTS
+    * against the accumulated visited set = the level-synchronous BFS);
+    * backward levels d(R-1)..d1 replay δ(v) = Σ σv/σw·(1+δw) against the
+    * NEXT level's f/d rows. Mirrors Betweenness.run level for level. */
+  private def bcSql(r: Int, nSeeds: Int, digits: Int = 6): String = {
+    val fwd = (1 to r).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT f.source, e.dst AS id, CAST(sum(f.sig) AS BIGINT) AS sig
+         |  FROM f${l - 1} f JOIN base e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} v
+         |    WHERE v.source = f.source AND v.id = e.dst)
+         |  GROUP BY f.source, e.dst),
+         |vis$l AS MATERIALIZED (
+         |  SELECT source, id FROM vis${l - 1}
+         |  UNION ALL SELECT source, id FROM f$l)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((r - 1) to 1 by -1).map { l =>
+      s"""d$l AS MATERIALIZED (
+         |  SELECT v.source, v.id,
+         |    sum(CAST(v.sig AS DOUBLE) / w.sig
+         |        * (coalesce(dw.delta, 0.0) + 1.0)) AS delta
+         |  FROM f$l v JOIN base e ON e.src = v.id
+         |  JOIN f${l + 1} w ON w.source = v.source AND w.id = e.dst
+         |  LEFT JOIN d${l + 1} dw ON dw.source = w.source AND dw.id = w.id
+         |  GROUP BY v.source, v.id)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 until r).map(l => s"SELECT id, delta FROM d$l")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS MATERIALIZED ($sqlEdges),
+       |f0 AS MATERIALIZED (SELECT CAST(x AS BIGINT) AS source,
+       |  CAST(x AS BIGINT) AS id, CAST(1 AS BIGINT) AS sig
+       |  FROM generate_series(0, ${nSeeds - 1}) AS g(x)),
+       |vis0 AS MATERIALIZED (SELECT source, id FROM f0),
+       |$fwd,
+       |d$r AS MATERIALIZED (
+       |  SELECT source, id, CAST(0 AS DOUBLE) AS delta FROM f$r),
+       |$bwd
+       |SELECT id, round(CAST(sum(delta) AS DOUBLE), $digits) AS bc
+       |FROM ($un) GROUP BY id""".stripMargin
   }
 
   /** K unrolled personalized-PageRank iterations: pagerankIterSql with the

@@ -165,4 +165,38 @@ object TextOps {
       size(regexp_extract_all(t, lit(ipRe), lit(0))).as("n_ip"),
       scrubbed.as("text_scrubbed"))
   }
+
+  /** BM25 relevance of every document to a bag of query terms (Robertson–
+    * Spärck Jones idf with Lucene's +1 floor; Okapi tf saturation). The
+    * retrieval primitive of corpus curation: "documents about X" selection,
+    * seed-query filtering, relevance-weighted sampling.
+    *
+    * Scale shape: the ONLY per-token work is the explode + an `isin` filter
+    * that discards non-query terms BEFORE any shuffle, so the tf aggregation
+    * is over ≤ |terms| rows per document. Corpus statistics (N, avgdl, df)
+    * stay in-plan as broadcast one-row/|terms|-row relations — no driver
+    * collect. avgdl is sum(long)/count (exact integer sum, one division) so
+    * the oracle reproduces it bit-exactly.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df")) // tf is 1 row/(doc,term)
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val sat = col("tf") * (k1 + 1) /
+      (col("tf") + (lit(1 - b) + lit(b) * col("dl") / col("avgdl")) * k1)
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(idf * sat).as("bm25"))
+  }
 }

@@ -233,6 +233,31 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
       (1L, 0L, 1L), (1L, 1L, 2L)))
   }
 
+  test("Betweenness: hand-computed Brandes on path and diamond; truncation; batching") {
+    // directed path 0→1→2→3, source 0: σ≡1; δ(2)=1, δ(1)=1+δ(2)=2; 3 is a
+    // leaf (δ=0, absent)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Betweenness.run(spark, path, Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p == Map(1L -> 2.0, 2L -> 1.0))
+    // diamond 0→{1,2}→3: σ(3)=2, δ(1)=δ(2)=1/2·(1+0)=0.5
+    val dia = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val d = Betweenness.run(spark, dia, Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d.keySet == Set(1L, 2L))
+    d.values.foreach(v => assert(math.abs(v - 0.5) < 1e-12))
+    // batching: adding source 1 (whose tree is radius 1: 1→3 only) changes
+    // nothing — no vertex lies strictly between 1 and anything
+    val d2 = Betweenness.run(spark, dia, Seq(0L, 1L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d2 == d)
+    // radius truncation: maxDepth=2 on the path drops the 0⇝3 pair —
+    // level-2 vertex 2 becomes the leaf level (δ=0), so δ(1)=1·(1+0)=1
+    val pt = Betweenness.run(spark, path, Seq(0L), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pt == Map(1L -> 1.0))
+  }
+
   test("KCore peels pendant chains, keeps the triangle, reports core degrees") {
     // triangle 0-1-2 with a pendant chain 2-3-4: the 2-core is the triangle
     // (3 and then 4 peel over two cascading rounds)

@@ -26,6 +26,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(5L) === 0.0)
   }
 
+  test("bm25: hand-computed scores; term-free docs absent; tf saturation") {
+    val docs = Seq(
+      (0L, "spark join"),
+      (1L, "join join table x"),
+      (2L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25(docs, Seq("spark", "join", "table"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=3; df: spark 1, join 2, table 1
+    val (k1, b, n, avgdl) = (1.2, 0.75, 3.0, 3.0)
+    def idf(df: Int) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def sat(tf: Long, dl: Long) =
+      tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    val want = Map(
+      0L -> (idf(1) * sat(1, 2) + idf(2) * sat(1, 2)),
+      1L -> (idf(2) * sat(2, 4) + idf(1) * sat(1, 4)))
+    assert(got.keySet == want.keySet) // d2 has no query term -> absent
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12) }
+    // saturation: doubling tf at fixed dl raises the score sublinearly
+    val d = Seq((0L, "q q a b c d e f"), (1L, "q a b c d e f g"))
+      .toDF("doc_id", "text")
+    val s = TextOps.bm25(d, Seq("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(0L) > s(1L) && s(0L) < 2 * s(1L))
+  }
+
   test("gopherRepetition: hand-computed duplicate-ngram fractions") {
     val docs = Seq(
       (1L, "a a a a"),    // bigrams: 3×"a a" -> dup2 = 1 - 1/3; trigrams 2×
