@@ -7,7 +7,7 @@ import graft.core.Extras._
 import graft.graph.{Adjacency, Contraction}
 import graft.pipeline.UrlOps
 import graft.algos._
-import graft.pipeline.{Dedup, Media, Similarity, TextOps}
+import graft.pipeline.{Dedup, Media, Sampling, Similarity, TextOps}
 import graft.ingest.Pages
 import graft.runtime.IterationCheckpointer
 
@@ -227,6 +227,12 @@ object SparkEntry {
       // At sf0.01 the cascade is 111902 -> 74532 -> 19210 -> 460 sym edges,
       // so all three support rounds do real work and the output is non-empty
       KTruss.run(s, edgesGSym(s, d), k = 16, parts(s), maxRounds = 3).truss),
+
+    "mis" -> ((s, d) =>
+      // Luby rounds; ANY oracle unroll R ≥ the executed rounds matches (the
+      // output is the union of per-round winners and exhausted rounds admit
+      // nobody), so maxRounds here == misSql's unroll
+      MIS.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).mis),
 
     "label_propagation" -> ((s, d) =>
       // 4 synchronous mode-LPA rounds (maxIter matches lpIterSql's unroll)
@@ -742,6 +748,41 @@ object SparkEntry {
     "bm25_score" -> ((s, d) =>
       TextOps.bm25(t(s, d, "documents"), Seq("spark", "join", "table"))
         .select(col("doc_id"), round(col("bm25"), 9).as("bm25"))),
+
+    "dataset_split" -> ((s, d) =>
+      // deterministic 80/10/10 train/val/test assignment by key hash —
+      // layout-independent, unlike rand()/df.sample (see Sampling Scaladoc)
+      Sampling.split(t(s, d, "documents"),
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id")).as("bucket"), col("split"))),
+
+    "bernoulli_sample" -> ((s, d) =>
+      Sampling.bernoulli(t(s, d, "documents"), col("doc_id"), 0.25)
+        .select(col("doc_id"))),
+
+    "sample_topn" -> ((s, d) =>
+      // fixed-size deterministic sample: smallest 100 by (hash, key)
+      Sampling.topN(t(s, d, "documents"), col("doc_id"), 100)
+        .select(col("doc_id"))),
+
+    "stratified_sample" -> ((s, d) =>
+      // per-language rates: downsample en to 10%, de to 50%, rest kept
+      Sampling.stratified(t(s, d, "documents"), col("doc_id"), col("lang"),
+          Seq("en" -> 0.1, "de" -> 0.5))
+        .select(col("doc_id"), col("lang"))),
+
+    "sample_cap_group" -> ((s, d) =>
+      // cap each language at ≈30 docs in expectation (rate = min(1, 30/n_g))
+      Sampling.capPerGroup(t(s, d, "documents"), col("doc_id"), col("lang"),
+          cap = 30)
+        .select(col("doc_id"), col("lang"))),
+
+    "span_dedup" -> ((s, d) =>
+      // corpus-wide first-occurrence dedup of 8-token spans (C4 line-dedup
+      // applied to token streams); reassembled doc text must match the
+      // oracle byte-for-byte
+      Dedup.dedupSpans(t(s, d, "documents"), k = 8)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
@@ -925,6 +966,8 @@ object SparkEntry {
     "kcore" -> kcoreSql(95, 8),
 
     "ktruss" -> ktrussSql(16, 3),
+
+    "mis" -> misSql(8),
 
     "bfs_levels" ->
       s"""WITH RECURSIVE base AS ($sqlEdges),
@@ -1378,6 +1421,68 @@ object SparkEntry {
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
 
+    "dataset_split" -> {
+      val Seq(c1, c2, _) = graft.pipeline.Sampling.thresholds(Seq(0.8, 0.1, 0.1))
+      val m = graft.pipeline.Sampling.M
+      s"""SELECT doc_id,
+         |  (doc_id % $m) * 2654435761 % $m AS bucket,
+         |  CASE WHEN (doc_id % $m) * 2654435761 % $m < $c1 THEN 'train'
+         |       WHEN (doc_id % $m) * 2654435761 % $m < $c2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "bernoulli_sample" -> {
+      val m = graft.pipeline.Sampling.M
+      val thr = (0.25 * m).toLong
+      s"""SELECT doc_id FROM documents
+         |WHERE (doc_id % $m) * 2654435761 % $m < $thr""".stripMargin
+    },
+
+    "sample_topn" -> {
+      val m = graft.pipeline.Sampling.M
+      s"""SELECT doc_id FROM documents
+         |ORDER BY (doc_id % $m) * 2654435761 % $m, doc_id LIMIT 100"""
+        .stripMargin
+    },
+
+    "stratified_sample" -> {
+      val m = graft.pipeline.Sampling.M
+      val (tEn, tDe) = ((0.1 * m).toLong, (0.5 * m).toLong)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (doc_id % $m) * 2654435761 % $m <
+         |  CASE WHEN lang = 'en' THEN $tEn
+         |       WHEN lang = 'de' THEN $tDe ELSE $m END""".stripMargin
+    },
+
+    "sample_cap_group" -> {
+      val m = graft.pipeline.Sampling.M
+      s"""SELECT d.doc_id, d.lang FROM documents d
+         |JOIN (SELECT lang, count(*) AS n FROM documents GROUP BY lang) g
+         |  USING (lang)
+         |WHERE (d.doc_id % $m) * 2654435761 % $m < least(${30L * m} // g.n, $m)"""
+        .stripMargin
+    },
+
+    // packed doc_id·2³⁰+span replays the Spark side's lexicographic
+    // (doc_id, span) struct-min winner pick exactly (span < 2³⁰ always)
+    "span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |        FROM documents),
+        |       unnest(range(0, len(toks))) u(i)),
+        |spans AS (
+        |  SELECT doc_id, pos // 8 AS span,
+        |         string_agg(tok, ' ' ORDER BY pos) AS span_text
+        |  FROM toks GROUP BY 1, 2),
+        |w AS (SELECT span_text, min(doc_id * 1073741824 + span) AS wk
+        |      FROM spans GROUP BY 1)
+        |SELECT s.doc_id, string_agg(s.span_text, ' ' ORDER BY s.span) AS text_deduped
+        |FROM spans s JOIN w ON s.span_text = w.span_text
+        |  AND s.doc_id * 1073741824 + s.span = w.wk
+        |GROUP BY 1""".stripMargin,
+
     "quality_score" ->
       """WITH b AS (SELECT doc_id, text,
         |    regexp_split_to_array(trim(text), ' +') AS toks FROM documents)
@@ -1784,6 +1889,39 @@ object SparkEntry {
        |  CAST(0 AS BIGINT) AS step, src AS id FROM base),
        |$steps
        |$sel""".stripMargin
+  }
+
+  /** R unrolled Luby MIS rounds: per round, a remaining vertex joins when
+    * no live neighbor has a smaller (priority, id) row-tuple — the same
+    * salted multiplicative hash MIS.run computes, compared with SQL
+    * row-value comparison; winners and their neighborhoods leave, the live
+    * edge set refilters. Unrolling past convergence admits nobody. */
+  private def misSql(rounds: Int): String = {
+    val m = graft.pipeline.Sampling.M
+    val steps = (1 to rounds).map { rr =>
+      val a = graft.pipeline.Sampling.saltedMultiplier(rr)
+      s"""cand$rr AS MATERIALIZED (
+         |  SELECT v.id FROM rem${rr - 1} v WHERE NOT EXISTS (
+         |    SELECT 1 FROM e${rr - 1} e WHERE e.src = v.id
+         |      AND (e.dst % $m * $a % $m, e.dst)
+         |        < (v.id % $m * $a % $m, v.id))),
+         |rem$rr AS MATERIALIZED (
+         |  SELECT v.id FROM rem${rr - 1} v
+         |  WHERE v.id NOT IN (SELECT id FROM cand$rr)
+         |    AND NOT EXISTS (SELECT 1 FROM e${rr - 1} e
+         |      WHERE e.dst = v.id AND e.src IN (SELECT id FROM cand$rr))),
+         |e$rr AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${rr - 1} e
+         |  JOIN rem$rr a ON a.id = e.src JOIN rem$rr b ON b.id = e.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    val un = (1 to rounds).map(rr =>
+      s"SELECT id, CAST($rr AS BIGINT) AS round FROM cand$rr")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED ($sqlEdgesSym),
+       |rem0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
+       |$steps
+       |$un""".stripMargin
   }
 
   /** Radius-R Brandes betweenness from seeds 0..nSeeds-1, fully unrolled:

@@ -1,0 +1,85 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Ckpt, CkptState}
+import graft.pipeline.Sampling
+
+final case class MISResult(mis: DataFrame, rounds: Int)
+
+/** Maximal independent set — Luby's algorithm (Luby 1986; the GraphBLAS
+  * showcase kernel, e.g. LAGraph MIS): per round, every remaining vertex
+  * whose priority beats ALL its remaining neighbors' joins the set; it and
+  * its neighborhood leave the graph. Expected O(log n) rounds.
+  *
+  * Determinism: round r's priority is the salted multiplicative hash
+  * `(v % M) · A_r mod M` (`Sampling.saltedMultiplier(r)` — a fresh
+  * multiplier per round is Luby's re-randomization), compared as the pair
+  * (priority, id) so hash ties cannot deadlock adjacent vertices or
+  * diverge between engines; the whole run is a pure function of the edge
+  * set, reproducible at any parallelism and replayable by an unrolled SQL
+  * oracle (row-tuple comparison) — a bounded-round run is the
+  * deterministic R-round operator by the same monotone-shrink argument as
+  * KTruss/KCore.
+  *
+  * Per round (3 jobs): one (dst-priority) min hash-aggregation over the
+  * live edge set + the beats-all filter; one anti-join removal of winners
+  * ∪ their neighborhoods; one live-edge refilter. The live relations only
+  * ever shrink, so late rounds are nearly free; loop state lives in flat
+  * Ckpt rewraps.
+  *
+  * Output: (id, round) — every MIS vertex with the round that admitted it.
+  */
+object MIS {
+
+  def run(spark: SparkSession, edgesSym: DataFrame, numPartitions: Int,
+          maxRounds: Int = 16): MISResult = {
+    val M = Sampling.M
+    var rem = Ckpt.materialize(edgesSym.select(col("src").as("id"))
+      .distinct().repartition(numPartitions, col("id")))
+    var e = Ckpt.materialize(edgesSym.select(col("src"), col("dst"))
+      .repartition(numPartitions, col("src")))
+    var mis: Option[CkptState] = None
+    var rounds = 0
+    var nRem = rem.df.count()
+    while (nRem > 0 && rounds < maxRounds) {
+      rounds += 1
+      def pk(c: Column) = struct((c % M * Sampling.saltedMultiplier(rounds) % M)
+        .as("p"), c.as("t"))
+      // min neighbor (priority, id) per live vertex; vertices with no live
+      // neighbors have no row -> isNull -> they win unconditionally
+      val nbrMin = e.df.select(col("src").as("id"), pk(col("dst")).as("k"))
+        .groupBy("id").agg(min(col("k")).as("mk"))
+      val cand = Ckpt.materialize(rem.df.join(nbrMin, Seq("id"), "left")
+        .filter(col("mk").isNull || pk(col("id")) < col("mk"))
+        .select(col("id")))
+      val removed = cand.df.unionByName(
+        e.df.join(cand.df.withColumnRenamed("id", "cid"),
+          col("src") === col("cid")).select(col("dst").as("id")))
+      val newRem = Ckpt.materialize(
+        rem.df.join(removed, Seq("id"), "left_anti")
+          .repartition(numPartitions, col("id")))
+      val ra = newRem.df.select(col("id").as("ra"))
+      val rb = newRem.df.select(col("id").as("rb"))
+      val newE = Ckpt.materialize(
+        e.df.join(ra, col("src") === col("ra"))
+          .join(rb, col("dst") === col("rb"))
+          .select(col("src"), col("dst")))
+      val misRows = cand.df.select(col("id"), lit(rounds.toLong).as("round"))
+      val newMis = Ckpt.materialize(mis match {
+        case Some(acc) => acc.df.unionByName(misRows)
+        case None      => misRows
+      })
+      mis.foreach(_.release())
+      cand.release(); rem.release(); e.release()
+      mis = Some(newMis)
+      rem = newRem
+      e = newE
+      nRem = rem.df.count()
+    }
+    rem.release(); e.release()
+    MISResult(mis.map(_.df).getOrElse(
+      { import spark.implicits._; Seq.empty[(Long, Long)].toDF("id", "round") }),
+      rounds)
+  }
+}

@@ -341,4 +341,39 @@ object Dedup {
     }.reduce(_ + _)
     counted.select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** Corpus-wide duplicated-SPAN removal (the C4/line-dedup recipe applied
+    * to unstructured token streams): segment every document into
+    * consecutive `k`-token spans, keep only the FIRST occurrence — min
+    * (doc_id, span index) — of each distinct span text across the whole
+    * corpus, and reassemble each document from its surviving spans.
+    * Boilerplate repeated across pages (headers, license blocks) survives
+    * exactly once; documents whose every span is a repeat drop entirely.
+    *
+    * Scale shape: posexplode → span groupBy (shuffle keyed on (doc_id,
+    * span)) → winner-pick groupBy keyed on span TEXT (the only corpus-wide
+    * shuffle, and its key relation shrinks to distinct spans) → equi-join
+    * back → per-doc reassembly groupBy. No self-join, no window over the
+    * corpus; the within-span sort_array/transform lambdas touch ≤k-element
+    * arrays. Winner comparison is the lexicographic (doc_id, span) struct
+    * min — replayed by the oracle as a packed `doc_id·2³⁰ + span` BIGINT
+    * (span count per doc is len(text)/k, nowhere near 2³⁰). */
+  def dedupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1)
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), " +")).as(Seq("pos", "tok")))
+    val spans = toks.groupBy(col("doc_id"), (col("pos") / k)
+        .cast("long").as("span"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x("tok")), " ").as("span_text"))
+    val winners = spans.groupBy("span_text")
+      .agg(min(struct(col("doc_id"), col("span"))).as("w"))
+    spans.join(winners, "span_text")
+      .filter(col("doc_id") === col("w.doc_id") && col("span") === col("w.span"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("span"), col("span_text")))),
+        x => x("span_text")), " ").as("text_deduped"))
+  }
 }

@@ -258,6 +258,31 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(pt == Map(1L -> 1.0))
   }
 
+  test("MIS: independent, maximal, deterministic across partitioning; clique yields one") {
+    def misOf(und: Seq[(Long, Long)], parts: Int = 4): (Set[Long], Int) = {
+      val sym = (und ++ und.map(_.swap)).toDF("src", "dst").repartition(parts)
+      val r = MIS.run(spark, sym, numPartitions = parts)
+      (r.mis.collect().map(_.getLong(0)).toSet, r.rounds)
+    }
+    // ring of 8 + a 4-clique bridged at vertex 0
+    val und = (0L until 8L).map(i => (i, (i + 1) % 8)) ++
+      Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L),
+        (12L, 13L), (0L, 10L))
+    val eSet = (und ++ und.map(_.swap)).toSet
+    val adj = eSet.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val (m, _) = misOf(und)
+    // independence: no two MIS vertices adjacent
+    assert(!eSet.exists { case (u, v) => m(u) && m(v) })
+    // maximality: every non-MIS vertex has a MIS neighbor
+    adj.keys.filterNot(m).foreach(v => assert(adj(v).exists(m), s"vertex $v"))
+    // determinism across a different partition count
+    assert(misOf(und, parts = 2)._1 == m)
+    // a clique admits exactly one MIS vertex, in round 1
+    val clique = for { i <- 0L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val (cm, cr) = misOf(clique)
+    assert(cm.size == 1 && cr <= 2)
+  }
+
   test("KCore peels pendant chains, keeps the triangle, reports core degrees") {
     // triangle 0-1-2 with a pendant chain 2-3-4: the 2-core is the triangle
     // (3 and then 4 peel over two cascading rounds)

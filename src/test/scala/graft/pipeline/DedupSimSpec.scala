@@ -148,4 +148,26 @@ class DedupSimSpec extends AnyFunSuite with SparkTest {
       assert(maxOcc <= n / 2, s"n=$n: a single bucket holds $maxOcc of $n")
     }
   }
+
+  test("dedupSpans keeps first occurrence per span, drops all-dup docs") {
+    // k=2 spans; doc 0 owns "a b" and "c d"; doc 1 repeats "a b" and adds
+    // "x y"; doc 2 is entirely made of earlier spans → drops
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b x y"),
+      (2L, "c d a b"),
+      (3L, "q r")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "a b c d", 1L -> "x y", 3L -> "q r"))
+    // within-doc repeats collapse too (span text equal, min span wins)
+    val rep = Seq((7L, "u v u v u v")).toDF("doc_id", "text")
+    val o2 = Dedup.dedupSpans(rep, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o2 == Map(7L -> "u v"))
+    // tail span shorter than k survives as its own (shorter) span text
+    val tail = Seq((9L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.dedupSpans(tail, k = 2).collect()
+      .map(_.getString(1)).toSeq == Seq("a b c"))
+  }
 }
