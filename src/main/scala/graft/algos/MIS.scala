@@ -35,13 +35,18 @@ object MIS {
   def run(spark: SparkSession, edgesSym: DataFrame, numPartitions: Int,
           maxRounds: Int = 16): MISResult = {
     val M = Sampling.M
-    var rem = Ckpt.materialize(edgesSym.select(col("src").as("id"))
-      .distinct().repartition(numPartitions, col("id")))
+    var (rem, nRem) = Ckpt.materializeWithCount(
+      edgesSym.select(col("src").as("id"))
+        .distinct().repartition(numPartitions, col("id")))
     var e = Ckpt.materialize(edgesSym.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src")))
-    var mis: Option[CkptState] = None
+    // per-round winner states accumulate (un-released: their blocks back the
+    // returned DataFrame; total size = |MIS|, tiny next to the edge set) and
+    // union ONCE at the end — 3 jobs/round (cand, rem+fused count, edges)
+    // instead of 5: the per-round mis-union job and the separate rem count
+    // measured ~35% of wall time on the sf0.1 fixture
+    val winners = List.newBuilder[(CkptState, Int)]
     var rounds = 0
-    var nRem = rem.df.count()
     while (nRem > 0 && rounds < maxRounds) {
       rounds += 1
       def pk(c: Column) = struct((c % M * Sampling.saltedMultiplier(rounds) % M)
@@ -56,30 +61,30 @@ object MIS {
       val removed = cand.df.unionByName(
         e.df.join(cand.df.withColumnRenamed("id", "cid"),
           col("src") === col("cid")).select(col("dst").as("id")))
-      val newRem = Ckpt.materialize(
+      val (newRem, n) = Ckpt.materializeWithCount(
         rem.df.join(removed, Seq("id"), "left_anti")
           .repartition(numPartitions, col("id")))
       val ra = newRem.df.select(col("id").as("ra"))
       val rb = newRem.df.select(col("id").as("rb"))
+      // dst-liveness join FIRST, src join LAST: the materialized edge state
+      // then carries hash(src) partitioning, so next round's neighbor-min
+      // groupBy AND the winner-neighborhood join are both exchange-free —
+      // one edge-wide shuffle per round (the unavoidable dst one), not three
       val newE = Ckpt.materialize(
-        e.df.join(ra, col("src") === col("ra"))
-          .join(rb, col("dst") === col("rb"))
+        e.df.join(rb, col("dst") === col("rb"))
+          .join(ra, col("src") === col("ra"))
           .select(col("src"), col("dst")))
-      val misRows = cand.df.select(col("id"), lit(rounds.toLong).as("round"))
-      val newMis = Ckpt.materialize(mis match {
-        case Some(acc) => acc.df.unionByName(misRows)
-        case None      => misRows
-      })
-      mis.foreach(_.release())
-      cand.release(); rem.release(); e.release()
-      mis = Some(newMis)
+      winners += ((cand, rounds))
+      rem.release(); e.release()
       rem = newRem
       e = newE
-      nRem = rem.df.count()
+      nRem = n
     }
     rem.release(); e.release()
-    MISResult(mis.map(_.df).getOrElse(
-      { import spark.implicits._; Seq.empty[(Long, Long)].toDF("id", "round") }),
-      rounds)
+    val mis = winners.result().map { case (c, r) =>
+      c.df.select(col("id"), lit(r.toLong).as("round"))
+    }.reduceOption(_.unionByName(_)).getOrElse(
+      { import spark.implicits._; Seq.empty[(Long, Long)].toDF("id", "round") })
+    MISResult(mis, rounds)
   }
 }

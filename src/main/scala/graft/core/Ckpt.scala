@@ -17,14 +17,22 @@ final case class CkptState(df: DataFrame, private val rdd: RDD[InternalRow]) {
 
 object Ckpt {
   def materialize(df: DataFrame): CkptState = {
-    val (flat, rdd, _) = GraftSqlShims.cachedDataFrame(df)
+    val (flat, rdd, _, _) = GraftSqlShims.cachedDataFrame(df)
     CkptState(flat, rdd)
+  }
+
+  /** Materialize AND return the row count from the SAME materialization job
+    * (cachedDataFrame counts the RDD to force it anyway) — loop drivers with
+    * a size-based stop check save one job + driver round-trip per round. */
+  def materializeWithCount(df: DataFrame): (CkptState, Long) = {
+    val (flat, rdd, _, n) = GraftSqlShims.cachedDataFrame(df)
+    (CkptState(flat, rdd), n)
   }
 
   /** Materialize AND sum a double column in the same pass (fused convergence
     * metric — one job per iteration instead of two). */
   def materializeWithSum(df: DataFrame, sumCol: String): (CkptState, Double) = {
-    val (flat, rdd, s) = GraftSqlShims.cachedDataFrame(df, sumColumn = Some(sumCol))
+    val (flat, rdd, s, _) = GraftSqlShims.cachedDataFrame(df, sumColumn = Some(sumCol))
     (CkptState(flat, rdd), s)
   }
 }

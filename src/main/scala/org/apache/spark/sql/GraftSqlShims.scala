@@ -81,7 +81,7 @@ object GraftSqlShims {
   def cachedDataFrame(df: DataFrame,
                       level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
                       sumColumn: Option[String] = None)
-      : (DataFrame, RDD[InternalRow], Double) = {
+      : (DataFrame, RDD[InternalRow], Double, Long) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val cdf = df.asInstanceOf[classic.DataFrame]
     // optional fused aggregation: sum a double column DURING materialization
@@ -107,7 +107,9 @@ object GraftSqlShims {
     // RDD-level localCheckpoint: truncates the RDD lineage chain too (task
     // closures would otherwise serialize a per-iteration-growing RDD DAG)
     rdd.localCheckpoint()
-    rdd.count() // eager materialization (also fixes AQE's final plan)
+    // eager materialization (also fixes AQE's final plan); the count is
+    // returned so loop drivers get their size-based stop check for free
+    val n = rdd.count()
     // AdaptiveSparkPlanExec reports UnknownPartitioning itself — read the
     // FINAL physical plan (fixed once the RDD has executed)
     val exec = cdf.queryExecution.executedPlan match {
@@ -126,6 +128,6 @@ object GraftSqlShims {
           .filter(_.references.subsetOf(outSet))
       else Seq.empty[SortOrder]
     val plan = LogicalRDD(out, rdd, part, order, isStreaming = false)(spark)
-    (classic.Dataset.ofRows(spark, plan), rdd, sumAcc.value)
+    (classic.Dataset.ofRows(spark, plan), rdd, sumAcc.value, n)
   }
 }
