@@ -115,13 +115,36 @@ object Bench {
     }.minBy(_._1)
     val edgesPerSec = pr.edgesTraversed / tPr
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum + tBuild + tPr
     spark.stop()
 
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","webgraph":{"pages":$nPages,"edges":${adj.numEdges},"build_sec":$tBuild%.3f,"pagerank_sec":$tPr%.3f,"pagerank_iters":${pr.iterations},"edges_per_sec":$edgesPerSec%.0f},"scaling":$scalingJson}""")
+    // The driver keeps only the LAST ~2000 chars of combined output and
+    // parses the final JSON line out of that tail — every artifact through
+    // round 3 recorded `"parsed": null` because the full per-query dict
+    // (100+ entries, ~3.8k chars) never fit. So: the COMPLETE per-query
+    // detail goes to a tracked file, and stdout's official line carries the
+    // slowest queries greedily up to a hard length budget (the expensive
+    // queries are the ones every round's plan audit reads) plus counts
+    // making the truncation explicit.
+    val webgraphJson =
+      f""""webgraph":{"pages":$nPages,"edges":${adj.numEdges},"build_sec":$tBuild%.3f,"pagerank_sec":$tPr%.3f,"pagerank_iters":${pr.iterations},"edges_per_sec":$edgesPerSec%.0f}"""
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val qJson = qs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"queries_total":${results.size},"queries_omitted":$omitted,"detail":"BENCH/bench_detail.json","failed":$failedJson,"sf":"$sfDir",$webgraphJson,"scaling":$scalingJson}"""
+    }
+    val detail = line(results.sortBy(_._1), 0)
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH/bench_detail.json")
+      try w.println(detail) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val bySlowest = results.sortBy(-_._2)
+    val budget = 1700 // tail=2000 minus sbt's "[info] " prefix + trailer lines
+    val keep = (results.size to 0 by -1)
+      .find(k => line(bySlowest.take(k), results.size - k).length <= budget)
+      .getOrElse(0)
+    println(line(bySlowest.take(keep), results.size - keep))
   }
 }
