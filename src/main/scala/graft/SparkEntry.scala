@@ -234,6 +234,19 @@ object SparkEntry {
       // nobody), so maxRounds here == misSql's unroll
       MIS.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).mis),
 
+    "clustering_coeff" -> ((s, d) =>
+      GraphStats.localClustering(edgesGSym(s, d), parts(s))),
+
+    "assortativity" -> ((s, d) =>
+      GraphStats.assortativity(edgesGSym(s, d))),
+
+    "reciprocity" -> ((s, d) =>
+      // on the DIRECTED graph — the symmetric closure is 1.0 by construction
+      GraphStats.reciprocity(edgesG(s, d))),
+
+    "degree_histogram" -> ((s, d) =>
+      GraphStats.degreeHistogram(edgesG(s, d))),
+
     "label_propagation" -> ((s, d) =>
       // 4 synchronous mode-LPA rounds (maxIter matches lpIterSql's unroll)
       LabelPropagation.run(s, edgesGSym(s, d), gmod(d), parts(s), maxIter = 4)
@@ -968,6 +981,54 @@ object SparkEntry {
     "ktruss" -> ktrussSql(16, 3),
 
     "mis" -> misSql(8),
+
+    "clustering_coeff" ->
+      s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |canon AS (SELECT src, dst FROM e WHERE src < dst),
+         |o AS (SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND c.src < c.dst)
+         |                  THEN c.src ELSE c.dst END AS lo,
+         |             CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND c.src < c.dst)
+         |                  THEN c.dst ELSE c.src END AS hi
+         |      FROM canon c JOIN deg dx ON c.src = dx.id JOIN deg dy ON c.dst = dy.id),
+         |tri AS (SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+         |        FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+         |        JOIN canon t ON t.src = w1.hi AND t.dst = w2.hi),
+         |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         |tc AS (SELECT id, count(*) AS tri FROM corners GROUP BY id)
+         |SELECT deg.id AS id, deg.deg AS deg,
+         |       CASE WHEN deg.deg < 2 THEN 0.0
+         |            ELSE round(coalesce(tc.tri, 0) * 2.0 / (deg.deg * (deg.deg - 1)), 6)
+         |       END AS lcc
+         |FROM deg LEFT JOIN tc ON deg.id = tc.id""".stripMargin,
+
+    "assortativity" ->
+      s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |xy AS (SELECT dx.deg AS x, dy.deg AS y
+         |       FROM e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x*y) AS BIGINT) AS sxy,
+         |             CAST(sum(x*x) AS BIGINT) AS sxx,
+         |             CAST(sum(y*y) AS BIGINT) AS syy FROM xy)
+         |SELECT round(CAST(n*sxy - sx*sy AS DOUBLE)
+         |             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS assortativity
+         |FROM s""".stripMargin,
+
+    "reciprocity" ->
+      s"""WITH e AS MATERIALIZED ($sqlEdges),
+         |r AS (SELECT count(*) AS r FROM e
+         |      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)),
+         |m AS (SELECT count(*) AS m FROM e)
+         |SELECT round(CAST(r.r AS DOUBLE) / m.m, 6) AS reciprocity FROM r, m""".stripMargin,
+
+    "degree_histogram" ->
+      s"""WITH e AS ($sqlEdges),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+         |SELECT length(bin(deg)) AS bucket, CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM deg GROUP BY 1""".stripMargin,
 
     "bfs_levels" ->
       s"""WITH RECURSIVE base AS ($sqlEdges),

@@ -455,4 +455,38 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(auths.values.map(x => x * x).sum - 1.0) < 1e-12)
     assert(hubs.maxBy(_._2)._1 == 0L && auths.maxBy(_._2)._1 == 2L)
   }
+
+  test("GraphStats: lcc / assortativity / reciprocity / degree histogram on a hand fixture") {
+    // triangle {0,1,2} + tail 2-3, 3-4 (undirected)
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val es = sym(und)
+    val lcc = GraphStats.localClustering(es, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(lcc == Map(
+      0L -> ((2L, 1.0)), 1L -> ((2L, 1.0)),
+      2L -> ((3L, 0.333333)), // 1 triangle / C(3,2)=3 wedges, rounded to 6dp
+      3L -> ((2L, 0.0)), 4L -> ((1L, 0.0))))
+
+    // driver-side exact Pearson r over the symmetric endpoint-degree pairs
+    val deg = (und ++ und.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val pairs = (und ++ und.map(_.swap)).map { case (u, v) => (deg(u), deg(v)) }
+    val n = pairs.size.toLong
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pairs.map(p => p._1 * p._1).sum, pairs.map(p => p._2 * p._2).sum)
+    val want = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    val got = GraphStats.assortativity(es).collect()(0).getDouble(0)
+    assert(math.abs(got - math.round(want * 1e6) / 1e6) < 1e-9)
+
+    // directed: (0,1) has its reverse, (1,2) and (2,3) do not
+    val dir = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rec = GraphStats.reciprocity(dir).collect()(0).getDouble(0)
+    assert(rec == 0.5)
+
+    // out-degrees 0:1, 1:2, 2:1 → bit-length buckets 1 (×2) and 2 (×1)
+    val hist = GraphStats.degreeHistogram(dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1 -> 2L, 2 -> 1L))
+  }
 }
