@@ -803,6 +803,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.05)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(s, t(s, d, "documents"), threshold = 0.05)),
+    "decontaminate" -> ((s, d) => {
+      // stand-in benchmark set: every 97th document (deterministic; those
+      // docs flag themselves, near-dups flag via shared shingles)
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
     "char_entropy" -> ((s, d) =>
       TextOps.charEntropy(t(s, d, "documents"))
         .select(col("doc_id"), round(col("char_entropy"), 6).as("char_entropy"))),
@@ -1576,6 +1582,15 @@ object SparkEntry {
     "doc_fingerprint" -> docFingerprintSql,
 
     "ngram_jaccard" -> ngramJaccardSql,
+
+    "decontaminate" ->
+      s"""WITH $sqlShingleCtes,
+         |bench AS (SELECT DISTINCT shingle FROM s0 WHERE doc_id % 97 = 0),
+         |hits AS (SELECT s0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM s0 JOIN bench USING (shingle) GROUP BY s0.doc_id)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
 
     "char_entropy" -> charEntropySql,
 

@@ -127,6 +127,27 @@ object Dedup {
         (col("id") === col("component")).cast("long").as("is_canonical"))
   }
 
+  /** Benchmark decontamination — flag every training document sharing at
+    * least one w-token shingle with a benchmark/eval document (the standard
+    * n-gram-overlap contamination rule of LLM data pipelines). The benchmark
+    * side is caller-asserted SMALL (eval sets are KBs–MBs): its distinct
+    * shingle ids broadcast, so the corpus — the 100-TB relation — costs ONE
+    * scan + a broadcast semi-join; only MATCHED shingle occurrences reach
+    * the per-doc aggregation (no corpus-wide distinct shuffle: the distinct
+    * is taken inside the agg over the tiny matched subset). Output one row
+    * per corpus doc: (doc_id, n_hits = distinct contaminated shingles,
+    * contaminated 0/1). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 3): DataFrame = {
+    val occurrences = shingleIdRows(docs, w)
+    val bench = shingleIdRows(benchmark, w).select(col("shingle")).distinct()
+    val hits = occurrences.join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count_distinct(col("shingle")).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
   private val P = 2147483647L
   private val P2 = 2147483629L
   /** number of leading code points folded into the token hash — 24 covers

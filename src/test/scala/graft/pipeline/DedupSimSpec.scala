@@ -49,6 +49,25 @@ class DedupSimSpec extends AnyFunSuite with SparkTest {
     assert(w2 === 5)
   }
 
+  test("decontaminate flags exactly the docs sharing a shingle with the benchmark") {
+    val docs = Seq(
+      (0L, "a b c d"),   // shingles [a b c], [b c d]
+      (1L, "x y z w"),   // disjoint
+      (2L, "q a b c"),   // shares [a b c]
+      (3L, "u v")        // too short for w=3: no shingles at all
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(docs, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> ((2L, 1L)), 1L -> ((0L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
+    // repeated contaminated shingles count once (distinct semantics)
+    val rep = Seq((5L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val g2 = Dedup.decontaminate(rep, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2(5L) === 1L)
+  }
+
   test("IVF ANN: nprobe = nlist degenerates to EXACT brute force; " +
     "probing more lists never hurts a query's best neighbor") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
