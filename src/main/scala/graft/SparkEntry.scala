@@ -7,7 +7,7 @@ import graft.core.Extras._
 import graft.graph.{Adjacency, Contraction}
 import graft.pipeline.UrlOps
 import graft.algos._
-import graft.pipeline.{Dedup, Media, Sampling, Similarity, TextOps}
+import graft.pipeline.{Clustering, Dedup, Media, Sampling, Similarity, TextOps}
 import graft.ingest.Pages
 import graft.runtime.IterationCheckpointer
 
@@ -246,6 +246,22 @@ object SparkEntry {
 
     "degree_histogram" -> ((s, d) =>
       GraphStats.degreeHistogram(edgesG(s, d))),
+
+    "modularity" -> ((s, d) => {
+      // planted-partition fixture: the dense lineitem expander has NO
+      // community structure (LPA collapses it to one label and every
+      // partition scores Q = 0 exactly), so keep within-block edges plus a
+      // thin deterministic cross-block sliver and score the planted block
+      // partition — a nontrivial Q exercising both the W_c and D_c² terms.
+      // The filter predicate is symmetric, so symmetry is preserved.
+      val e = edgesGSym(s, d).filter(
+        expr("src DIV 118") === expr("dst DIV 118") ||
+          pmod(col("src") + col("dst"), lit(29L)) === 0)
+      val labels = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .select(col("id"), expr("id DIV 118").as("label"))
+      GraphStats.modularity(e, labels)
+    }),
 
     "label_propagation" -> ((s, d) =>
       // 4 synchronous mode-LPA rounds (maxIter matches lpIterSql's unroll)
@@ -916,6 +932,11 @@ object SparkEntry {
       Similarity.annTopKMultiProbe(t(s, d, "embeddings"), k = 10, targetOcc = 64)),
     "embedding_ann_ivf" -> ((s, d) =>
       Similarity.annTopKIvf(t(s, d, "embeddings"), nlist = 16, nprobe = 2, k = 10)),
+    "kmeans_embed" -> ((s, d) =>
+      Clustering.kmeansAssign(t(s, d, "embeddings"), k = 8, iters = 2)),
+    "semantic_dedup" -> ((s, d) =>
+      Clustering.semanticDedup(t(s, d, "embeddings"), k = 8, iters = 2,
+        threshold = 0.35)),
     "media_meta" -> ((s, d) =>
       Media.metadata(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -1035,6 +1056,8 @@ object SparkEntry {
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
          |SELECT length(bin(deg)) AS bucket, CAST(count(*) AS BIGINT) AS n_vertices
          |FROM deg GROUP BY 1""".stripMargin,
+
+    "modularity" -> modularitySql,
 
     "bfs_levels" ->
       s"""WITH RECURSIVE base AS ($sqlEdges),
@@ -1874,12 +1897,67 @@ object SparkEntry {
         |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 10""".stripMargin,
 
+    "kmeans_embed" ->
+      s"""WITH ${kmeansCte(8, 2)}
+         |SELECT vec_id, cluster FROM a2""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH ${kmeansCte(8, 2)},
+         |wc AS (SELECT a.vec_id, a.cluster, r.emb
+         |       FROM a2 a JOIN (SELECT vec_id,
+         |         CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) r
+         |       USING (vec_id)),
+         |dropped AS (SELECT DISTINCT a.vec_id
+         |  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+         |  WHERE round(list_dot_product(a.emb, b.emb) /
+         |          (sqrt(list_dot_product(a.emb, a.emb)) *
+         |           sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.35)
+         |SELECT a.vec_id, a.cluster,
+         |  CAST(d.vec_id IS NULL AS BIGINT) AS is_kept
+         |FROM a2 a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin,
+
     "media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5 FROM documents""".stripMargin
   )
 
   // ---- longer SQL bodies built with the same constants as the Scala code ----
+
+  /** Lloyd's k-means unrolled to `iters` assignment rounds (iters−1 centroid
+    * updates), ending at CTE a$iters = (vec_id, cluster) — the exact
+    * arithmetic of Clustering.kmeansAssign: dyadic 2^-24 quantization makes
+    * the centroid numerators INTEGER sums, so both engines compute
+    * bit-identical centroids regardless of aggregation order, and the
+    * assignment score c·c − 2·x·c is two sequential list_dot_products. */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val assignStep =
+        s"""s$i AS (SELECT e.vec_id, c.cluster,
+           |          list_dot_product(c.cent, c.cent)
+           |            - 2 * list_dot_product(e.xq, c.cent) AS score
+           |        FROM e CROSS JOIN c${i - 1} c),
+           |a$i AS (SELECT vec_id, cluster FROM (
+           |          SELECT vec_id, cluster, row_number() OVER (
+           |            PARTITION BY vec_id ORDER BY score, cluster) AS rn
+           |          FROM s$i) WHERE rn = 1)""".stripMargin
+      val updateStep = if (i == iters) "" else
+        s""",
+           |q$i AS (SELECT a.cluster, u.i AS pos,
+           |          CAST(e.xq[u.i + 1] * 16777216.0 AS BIGINT) AS qv
+           |        FROM a$i a JOIN e USING (vec_id),
+           |             unnest(range(0, len(e.xq))) u(i)),
+           |c$i AS (SELECT cluster, list(m ORDER BY pos) AS cent FROM (
+           |          SELECT cluster, pos,
+           |            CAST(sum(qv) AS DOUBLE) / (count(*) * 16777216.0) AS m
+           |          FROM q$i GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+      assignStep + updateStep
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |        v -> floor(v * 16777216.0) / 16777216.0) AS xq
+       |      FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, xq AS cent FROM e WHERE vec_id < $k),
+       |$rounds""".stripMargin
+  }
 
   /** K full pagerank_3f iterations as K chained (non-recursive) CTEs —
     * recursive SQL cannot aggregate in the recursive term, but a fixed
@@ -2093,7 +2171,9 @@ object SparkEntry {
   /** K unrolled synchronous mode-LPA rounds (mirrors LabelPropagation.run:
     * per-vertex neighbor-label histogram, argmax with (count desc, label)
     * tie-break, keep own label when isolated). */
-  private def lpIterSql(k: Int): String = {
+  /** The 4-round mode-LPA CTE chain (e, r0, v·/m·/r· per round) — shared by
+    * the label_propagation oracle and modularity's label source. */
+  private def lpRoundsCte(k: Int): String = {
     val steps = (1 to k).map { i =>
       s"""v$i AS (SELECT e.src AS id, r${i - 1}.lbl AS lbl, count(*) AS c
          |        FROM e JOIN r${i - 1} ON e.dst = r${i - 1}.id GROUP BY 1, 2),
@@ -2103,11 +2183,33 @@ object SparkEntry {
          |r$i AS (SELECT r${i - 1}.id AS id, coalesce(m$i.lbl, r${i - 1}.lbl) AS lbl
          |        FROM r${i - 1} LEFT JOIN m$i ON r${i - 1}.id = m$i.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($sqlEdgesSym),
+    s"""e AS ($sqlEdgesSym),
        |r0 AS (SELECT id, id AS lbl FROM range(0, 937) t(id)),
-       |$steps
-       |SELECT id, lbl AS label FROM r$k""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def lpIterSql(k: Int): String =
+    s"""WITH ${lpRoundsCte(k)}
+       |SELECT id, lbl AS label FROM r$k""".stripMargin
+
+  /** Newman Q of the planted block partition from exact integer aggregates —
+    * the same closed-form combine as GraphStats.modularity (DuckDB's `//`
+    * truncates toward zero like Spark's DIV; ids are non-negative). */
+  private def modularitySql: String =
+    s"""WITH ef AS MATERIALIZED (SELECT src, dst FROM ($sqlEdgesSym)
+       |        WHERE (src // 118) = (dst // 118) OR (src + dst) % 29 = 0),
+       |lab AS (SELECT id, id // 118 AS lbl FROM
+       |        (SELECT src AS id FROM ef UNION SELECT dst FROM ef)),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM ef GROUP BY 1),
+       |d2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sd2 FROM (
+       |         SELECT l.lbl, sum(d.deg) AS dc FROM deg d
+       |         JOIN lab l ON d.id = l.id GROUP BY 1)),
+       |wm AS (SELECT CAST(count(*) AS BIGINT) AS two_m,
+       |              CAST(count(*) FILTER (WHERE la.lbl = lb.lbl) AS BIGINT) AS sw
+       |       FROM ef JOIN lab la ON ef.src = la.id JOIN lab lb ON ef.dst = lb.id)
+       |SELECT round(CAST(sw AS DOUBLE) / two_m
+       |             - CAST(sd2 AS DOUBLE) / (CAST(two_m AS DOUBLE) * two_m),
+       |       9) AS modularity FROM d2, wm""".stripMargin
 
   /** byte-identical mirror of TextOps.charEntropy: same replace-and-diff
     * counts, same left-associated summation trees (term order changes the

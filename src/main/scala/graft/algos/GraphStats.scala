@@ -97,4 +97,37 @@ object GraphStats {
     edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .groupBy(length(bin(col("deg"))).as("bucket"))
       .agg(count(lit(1)).as("n_vertices"))
+
+  /** Newman modularity of a vertex partition (Newman & Girvan 2004) over a
+    * SYMMETRIC, deduplicated, loop-free edge set — the standard "did the
+    * community algorithm find real structure" score for LPA/CC output:
+    * Q = Σ_c [ W_c/2m − (D_c/2m)² ], with W_c the directed-symmetric edge
+    * count inside community c, D_c its total degree, 2m = |edges|.
+    *
+    * Like assortativity above, Q is combined from EXACT integer aggregates
+    * (Sw = Σ_c W_c via one filtered count; Sd2 = Σ_c D_c² — fits int64 while
+    * Σ_c D_c² < 9·10^18, i.e. until a single community's degree mass passes
+    * ~3·10^9; past that, recompute with dc cast to double) in ONE closed-form
+    * double expression, so the result is bit-stable across partitionings.
+    * `labels`: (id, label) covering every edge endpoint. Output a single
+    * (modularity) row rounded to 9 decimals. */
+  def modularity(edgesSym: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("label"))
+    val deg = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val sd2 = deg.join(l, "id")
+      .groupBy("label").agg(sum(col("deg")).as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sd2"))
+    val swm = edgesSym
+      .join(l.select(col("id").as("src"), col("label").as("cs")), "src")
+      .join(l.select(col("id").as("dst"), col("label").as("cd")), "dst")
+      .agg(count(lit(1)).as("two_m"),
+        count_if(col("cs") === col("cd")).as("sw"))
+    // two single-row frames — the cross join is 1×1
+    swm.crossJoin(sd2).select(round(
+      col("sw").cast("double") / col("two_m")
+        - col("sd2").cast("double")
+          / (col("two_m").cast("double") * col("two_m")),
+      9).as("modularity"))
+  }
 }

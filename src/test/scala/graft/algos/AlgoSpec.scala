@@ -489,4 +489,21 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(hist == Map(1 -> 2L, 2 -> 1L))
   }
+
+  test("GraphStats: modularity of two bridged triangles is 5/14") {
+    // triangles {0,1,2} and {3,4,5} joined by the bridge 2-3; labels = which
+    // triangle. 2m=14, Sw=12 (both triangles' 6 directed edges), degrees
+    // (2,2,3 | 3,2,2) → D_c = 7 each, Sd2 = 98.
+    // Q = 12/14 − 98/196 = 5/14 ≈ 0.357142857.
+    val es = sym(Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L)))
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("id", "label")
+    val q = GraphStats.modularity(es, labels).collect()(0).getDouble(0)
+    assert(math.abs(q - 5.0 / 14.0) < 1e-8)
+
+    // one-community partition always scores exactly 0 (Sw=2m, Sd2=(2m)²)
+    val one = labels.select(col("id"), lit(7L).as("label"))
+    assert(GraphStats.modularity(es, one).collect()(0).getDouble(0) == 0.0)
+  }
 }
