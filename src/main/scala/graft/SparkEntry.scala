@@ -234,6 +234,10 @@ object SparkEntry {
       // nobody), so maxRounds here == misSql's unroll
       MIS.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).mis),
 
+    "coloring" -> ((s, d) =>
+      // Jones-Plassmann rounds; same bounded-round contract as mis
+      Coloring.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).colors),
+
     "clustering_coeff" -> ((s, d) =>
       GraphStats.localClustering(edgesGSym(s, d), parts(s))),
 
@@ -1008,6 +1012,8 @@ object SparkEntry {
     "ktruss" -> ktrussSql(16, 3),
 
     "mis" -> misSql(8),
+
+    "coloring" -> coloringSql(8),
 
     "clustering_coeff" ->
       s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
@@ -2076,6 +2082,45 @@ object SparkEntry {
        |rem0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
        |$steps
        |$un""".stripMargin
+  }
+
+  /** R unrolled Jones-Plassmann rounds — the exact Coloring.run recurrence:
+    * MIS-style beats-all candidates on the live (uncolored) edge set, then
+    * the smallest color absent from each candidate's already-colored
+    * neighborhood (colors stay < rr, so range(0, rr) always suffices). */
+  private def coloringSql(rounds: Int): String = {
+    val m = graft.pipeline.Sampling.M
+    val steps = (1 to rounds).map { rr =>
+      val a = graft.pipeline.Sampling.saltedMultiplier(rr)
+      s"""cand$rr AS MATERIALIZED (
+         |  SELECT v.id FROM rem${rr - 1} v WHERE NOT EXISTS (
+         |    SELECT 1 FROM e${rr - 1} e WHERE e.src = v.id
+         |      AND (e.dst % $m * $a % $m, e.dst)
+         |        < (v.id % $m * $a % $m, v.id))),
+         |pick$rr AS MATERIALIZED (
+         |  SELECT c.id, min(k.k) AS color
+         |  FROM cand$rr c, unnest(range(0, $rr)) k(k)
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM e0 e JOIN colored${rr - 1} col ON col.id = e.dst
+         |    WHERE e.src = c.id AND col.color = k.k)
+         |  GROUP BY c.id),
+         |colored$rr AS MATERIALIZED (
+         |  SELECT id, color FROM colored${rr - 1}
+         |  UNION ALL SELECT id, color FROM pick$rr),
+         |rem$rr AS MATERIALIZED (
+         |  SELECT v.id FROM rem${rr - 1} v
+         |  WHERE v.id NOT IN (SELECT id FROM cand$rr)),
+         |e$rr AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${rr - 1} e
+         |  JOIN rem$rr a ON a.id = e.src JOIN rem$rr b ON b.id = e.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($sqlEdgesSym),
+       |rem0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
+       |colored0 AS (SELECT CAST(NULL AS BIGINT) AS id,
+       |             CAST(NULL AS BIGINT) AS color WHERE FALSE),
+       |$steps
+       |SELECT id, color FROM colored$rounds""".stripMargin
   }
 
   /** Radius-R Brandes betweenness from seeds 0..nSeeds-1, fully unrolled:

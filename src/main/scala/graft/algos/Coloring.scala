@@ -1,0 +1,102 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Ckpt, CkptState}
+import graft.pipeline.Sampling
+
+final case class ColoringResult(colors: DataFrame, rounds: Int)
+
+/** Distributed greedy graph coloring — Jones–Plassmann (Jones & Plassmann
+  * 1993; the other classic Luby-style GraphBLAS kernel beside MIS): per
+  * round, every UNCOLORED vertex whose salted priority beats all its
+  * uncolored neighbors' takes the smallest color absent from its
+  * already-colored neighborhood. Expected O(log n / log log n)-ish rounds on
+  * bounded-degree graphs; each vertex ends with color ≤ its degree, so the
+  * palette never exceeds Δ+1.
+  *
+  * Determinism mirrors MIS: round r's priority is the salted multiplicative
+  * hash `(v % M) · A_r mod M` compared as the (priority, id) pair — the same
+  * Sampling.saltedMultiplier stream, so the whole run is a pure function of
+  * the edge set, bit-reproducible at any parallelism and replayable by an
+  * unrolled SQL oracle. A bounded-round run is the deterministic R-round
+  * operator (the uncolored set only shrinks), like MIS/KCore/KTruss.
+  *
+  * Per round: the MIS-style beats-all candidate filter over live edges; one
+  * neighbor-color semi-computation (original edges, candidate side semi-
+  * filtered, colored side joined by id — NEVER an all-pairs anything); the
+  * smallest-absent-color pick as a skinny (cand × round) explode anti-joined
+  * against neighbor colors (≤ r candidate-rows each, r bounded); then the
+  * same live-set shrink as MIS. Per-round colored deltas accumulate and
+  * union ONCE at the end (the MIS winners trick — no growing loop plan).
+  *
+  * Output: (id, color) for every vertex colored within maxRounds.
+  */
+object Coloring {
+
+  def run(spark: SparkSession, edgesSym: DataFrame, numPartitions: Int,
+          maxRounds: Int = 16): ColoringResult = {
+    val M = Sampling.M
+    val e0 = Ckpt.materialize(edgesSym.select(col("src"), col("dst"))
+      .repartition(numPartitions, col("src")))
+    var (rem, nRem) = Ckpt.materializeWithCount(
+      e0.df.select(col("src").as("id"))
+        .distinct().repartition(numPartitions, col("id")))
+    var e = e0 // live (uncolored-to-uncolored) edges; round 0 = all
+    val picks = List.newBuilder[CkptState]
+    var coloredSoFar = List.empty[DataFrame]
+    var rounds = 0
+    while (nRem > 0 && rounds < maxRounds) {
+      rounds += 1
+      def pk(c: Column) = struct((c % M * Sampling.saltedMultiplier(rounds) % M)
+        .as("p"), c.as("t"))
+      val nbrMin = e.df.select(col("src").as("id"), pk(col("dst")).as("k"))
+        .groupBy("id").agg(min(col("k")).as("mk"))
+      val cand = Ckpt.materialize(rem.df.join(nbrMin, Seq("id"), "left")
+        .filter(col("mk").isNull || pk(col("id")) < col("mk"))
+        .select(col("id")))
+      // smallest color ∉ colored-neighbor palette; colors seen so far are
+      // < rounds-1, so the candidate explode over [0, rounds) always finds
+      // one — |cand|·rounds skinny rows, never an unbounded domain
+      val nc =
+        if (coloredSoFar.isEmpty) null
+        else e0.df
+          .join(cand.df.withColumnRenamed("id", "cid"), col("src") === col("cid"))
+          .join(coloredSoFar.reduce(_.unionByName(_))
+            .withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+          .select(col("cid").as("id"), col("color").as("k")).distinct()
+      val kRange = cand.df.select(col("id"),
+        explode(sequence(lit(0L), lit(rounds.toLong - 1))).as("k"))
+      val pick = Ckpt.materialize(
+        (if (nc == null) kRange else kRange.join(nc, Seq("id", "k"), "left_anti"))
+          .groupBy("id").agg(min(col("k")).as("color")))
+      picks += pick
+      coloredSoFar ::= pick.df
+      val removedIds = cand.df
+      val (newRem, n) = Ckpt.materializeWithCount(
+        rem.df.join(removedIds, Seq("id"), "left_anti")
+          .repartition(numPartitions, col("id")))
+      val ra = newRem.df.select(col("id").as("ra"))
+      val rb = newRem.df.select(col("id").as("rb"))
+      // dst join first, src join last: materialized state keeps hash(src)
+      // partitioning so next round's neighbor-min groupBy is exchange-free
+      val newE = Ckpt.materialize(
+        e.df.join(rb, col("dst") === col("rb"))
+          .join(ra, col("src") === col("ra"))
+          .select(col("src"), col("dst")))
+      cand.release(); rem.release()
+      if (e ne e0) e.release()
+      rem = newRem
+      e = newE
+      nRem = n
+    }
+    rem.release()
+    if (e ne e0) e.release()
+    // e0 and the picks stay materialized: their blocks back the returned
+    // frame (total size |V| + |E|-partitioned scan state, session-scoped)
+    val out = picks.result().map(_.df)
+      .reduceOption(_.unionByName(_)).getOrElse(
+        { import spark.implicits._; Seq.empty[(Long, Long)].toDF("id", "color") })
+    ColoringResult(out, rounds)
+  }
+}

@@ -490,6 +490,28 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(hist == Map(1 -> 2L, 2 -> 1L))
   }
 
+  test("Coloring: Jones-Plassmann drains the graph into a proper coloring " +
+    "with color(v) <= deg(v)") {
+    // two bridged triangles + a pendant path — mixed degrees 1..3
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L), (5L, 6L), (6L, 7L))
+    val es = sym(und)
+    val res = Coloring.run(spark, es, 4, maxRounds = 16)
+    val colors = res.colors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(colors.keySet == (0L to 7L).toSet, "every vertex gets colored")
+    und.foreach { case (u, v) =>
+      assert(colors(u) != colors(v), s"edge ($u,$v) must not be monochromatic")
+    }
+    val deg = (und ++ und.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.size }
+    colors.foreach { case (v, c) =>
+      assert(c <= deg(v), s"JP bound: color($v)=$c exceeds deg=${deg(v)}")
+    }
+    // layout independence: a different partitioning yields identical colors
+    val again = Coloring.run(spark, es.repartition(7), 4, maxRounds = 16)
+      .colors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == colors)
+  }
+
   test("GraphStats: modularity of two bridged triangles is 5/14") {
     // triangles {0,1,2} and {3,4,5} joined by the bridge 2-3; labels = which
     // triangle. 2m=14, Sw=12 (both triangles' 6 directed edges), degrees
