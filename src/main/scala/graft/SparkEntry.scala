@@ -286,6 +286,10 @@ object SparkEntry {
       MSBFS.harmonic(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15)
         .select(col("id"), round(col("harmonic"), 9).as("harmonic"))),
 
+    "eccentricity" -> ((s, d) =>
+      // pseudo-diameter sampling: per-seed max BFS level off the packed wave
+      MSBFS.eccentricity(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15)),
+
     "random_walks" -> ((s, d) =>
       // 8-step deterministic walk corpus, one walk per vertex; the oracle
       // replays the exact next-hop arithmetic (see RandomWalk Scaladoc)
@@ -782,6 +786,9 @@ object SparkEntry {
       TextOps.bm25(t(s, d, "documents"), Seq("spark", "join", "table"))
         .select(col("doc_id"), round(col("bm25"), 9).as("bm25"))),
 
+    "tfidf_top_terms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(t(s, d, "documents"), k = 3)),
+
     "dataset_split" -> ((s, d) =>
       // deterministic 80/10/10 train/val/test assignment by key hash —
       // layout-independent, unlike rand()/df.sample (see Sampling Scaladoc)
@@ -1084,6 +1091,18 @@ object SparkEntry {
          |  FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
          |)
          |SELECT source, id, min(d) AS level FROM r GROUP BY source, id""".stripMargin,
+
+    "eccentricity" ->
+      s"""WITH RECURSIVE base AS ($sqlEdges),
+         |src(s) AS (SELECT CAST(x AS BIGINT) FROM generate_series(0, 3) AS g(x)),
+         |r(source, id, d) AS (
+         |  SELECT s, s, CAST(0 AS BIGINT) FROM src
+         |  UNION
+         |  SELECT r.source, e.dst, r.d + 1
+         |  FROM r JOIN base e ON e.src = r.id WHERE r.d < 15
+         |),
+         |lv AS (SELECT source, id, min(d) AS level FROM r GROUP BY source, id)
+         |SELECT source, max(level) AS eccentricity FROM lv GROUP BY source""".stripMargin,
 
     "harmonic_centrality" ->
       s"""WITH RECURSIVE base AS ($sqlEdges),
@@ -1516,6 +1535,23 @@ object SparkEntry {
         |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 9) AS bm25
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dft.df)) + 1.0), 9)
+        |      AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score, rank FROM (
+        |  SELECT doc_id, term, score, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
 
     "dataset_split" -> {
       val Seq(c1, c2, _) = graft.pipeline.Sampling.thresholds(Seq(0.8, 0.1, 0.1))

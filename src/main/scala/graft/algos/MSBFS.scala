@@ -96,4 +96,13 @@ object MSBFS {
       .filter(col("level") > 0)
       .groupBy("id")
       .agg(sum(lit(1.0) / col("level")).as("harmonic"))
+
+  /** Per-source eccentricity within the BFS radius: max level reached from
+    * each source over its reachable set — the pseudo-diameter sampling
+    * primitive (max over sampled sources lower-bounds the graph diameter).
+    * Pure integer max over the shared packed wave; no float aggregation. */
+  def eccentricity(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+                   maxDepth: Int = 64): DataFrame =
+    levels(spark, edges, sources, maxDepth)
+      .groupBy("source").agg(max(col("level")).as("eccentricity"))
 }

@@ -199,4 +199,29 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum(idf * sat).as("bm25"))
   }
+
+  /** Per-document top-k terms by smoothed TF-IDF (the sklearn convention:
+    * idf = ln((1+N)/(1+df)) + 1 — df smoothing, never negative). Unlike
+    * bm25's seed-query `isin` filter this keeps the FULL vocabulary: df is
+    * one (term) hash aggregation over the distinct (doc, term) relation —
+    * the standard corpus-wide fit cost — and that relation is NOT broadcast
+    * (unbounded domain); only the one-row N is. Each score is a scalar
+    * product of exact counts (no float aggregation anywhere), rounded to
+    * 1e-9 BEFORE the per-doc rank window so tie-breaks (score desc, term)
+    * are cross-engine deterministic. Output (doc_id, term, score, rank). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (log((lit(1.0) + col("n_docs"))
+          / (lit(1.0) + col("df"))) + 1.0), 9).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

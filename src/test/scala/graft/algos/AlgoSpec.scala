@@ -187,6 +187,15 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(l == 1L)
   }
 
+  test("Eccentricity: per-seed max BFS level on the pr demo graph") {
+    // from 0: max dist 2 (to 3, 4); from 1: max dist 4 (1→3→4→0→2);
+    // from 7 in the disconnected tail 7→8: max dist 1
+    val edges = (prEdges ++ Seq((7L, 8L))).toDF("src", "dst")
+    val got = MSBFS.eccentricity(spark, edges, Seq(0L, 1L, 7L), maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 4L, 7L -> 1L))
+  }
+
   test("Harmonic centrality: hand-computed seed-sampled sums on the pr demo graph") {
     // distances on the demo digraph: from 0 → {1:1, 2:1, 3:2, 4:2};
     // from 1 → {3:1, 4:2, 0:3, 2:4}. H_{0,1}(v) = Σ 1/d over positive d.

@@ -52,6 +52,28 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(s(0L) > s(1L) && s(0L) < 2 * s(1L))
   }
 
+  test("tfidfTopTerms: hand-computed scores, rank order, and tie-break by term") {
+    val docs = Seq(
+      (0L, "a a b"),
+      (1L, "a c"),
+      (2L, "c c c d")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    // N=3; df: a=2, b=1, c=2, d=1; idf = ln((1+N)/(1+df)) + 1
+    def s(tf: Long, df: Int) =
+      math.round(tf * (math.log(4.0 / (1 + df)) + 1.0) * 1e9) / 1e9
+    assert(got((0L, "a")) == ((s(2, 2), 1L)))
+    assert(got((0L, "b")) == ((s(1, 1), 2L)))
+    // doc 1: a and c tie exactly — term order breaks it: a before c
+    assert(got((1L, "a")) == ((s(1, 2), 1L)))
+    assert(got((1L, "c")) == ((s(1, 2), 2L)))
+    assert(got((2L, "c")) == ((s(3, 2), 1L)))
+    assert(got((2L, "d")) == ((s(1, 1), 2L)))
+    assert(got.size == 6)
+  }
+
   test("gopherRepetition: hand-computed duplicate-ngram fractions") {
     val docs = Seq(
       (1L, "a a a a"),    // bigrams: 3×"a a" -> dup2 = 1 - 1/3; trigrams 2×
