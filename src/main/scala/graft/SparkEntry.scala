@@ -238,6 +238,24 @@ object SparkEntry {
       // Jones-Plassmann rounds; same bounded-round contract as mis
       Coloring.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).colors),
 
+    "boruvka_mst" -> ((s, d) => {
+      // weighted graph: canonical undirected lineitem edges, integer-cent
+      // weights, duplicates merged by min — 4 rounds span the fixture (the
+      // sbt test cross-checks the full forest against a driver Kruskal)
+      val n = gmod(d)
+      val raw = t(s, d, "lineitem")
+        .select((col("l_orderkey") % n).as("s"), (col("l_partkey") % n).as("d2"),
+          round(col("l_quantity") * 100).cast("long").as("q"))
+        .filter(col("s") =!= col("d2"))
+      val canon = raw.select(least(col("s"), col("d2")).as("lo"),
+          greatest(col("s"), col("d2")).as("hi"), col("q"))
+        .groupBy("lo", "hi").agg(min(col("q")).as("w"))
+      val sym = canon.select(col("lo").as("src"), col("hi").as("dst"), col("w"))
+        .unionByName(
+          canon.select(col("hi").as("src"), col("lo").as("dst"), col("w")))
+      Boruvka.run(s, sym, parts(s), maxRounds = 4).forest
+    }),
+
     "clustering_coeff" -> ((s, d) =>
       GraphStats.localClustering(edgesGSym(s, d), parts(s))),
 
@@ -1021,6 +1039,8 @@ object SparkEntry {
     "mis" -> misSql(8),
 
     "coloring" -> coloringSql(8),
+
+    "boruvka_mst" -> boruvkaSql(4),
 
     "clustering_coeff" ->
       s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
@@ -2118,6 +2138,45 @@ object SparkEntry {
        |rem0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
        |$steps
        |$un""".stripMargin
+  }
+
+  /** R unrolled Borůvka rounds — the exact Boruvka.run recurrence: per round
+    * each component's min outgoing edge under the strict (w, lo, hi) order,
+    * then a RECURSIVE min-reach relabel over the merge graph (the converged
+    * fixpoint MinReach computes) and the contraction filter. */
+  private def boruvkaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""sel$r AS MATERIALIZED (SELECT ca, cb, lo, hi, w FROM (
+         |   SELECT ca, cb, lo, hi, w, row_number() OVER (
+         |     PARTITION BY ca ORDER BY w, lo, hi) AS rn FROM e${r - 1})
+         |   WHERE rn = 1),
+         |mg$r AS (SELECT ca AS a, cb AS b FROM sel$r
+         |          UNION SELECT cb, ca FROM sel$r),
+         |reach$r(id, lbl) AS (
+         |   SELECT DISTINCT ca, ca FROM e${r - 1}
+         |   UNION
+         |   SELECT m.b, r.lbl FROM reach$r r JOIN mg$r m ON m.a = r.id),
+         |lbl$r AS MATERIALIZED (SELECT id, min(lbl) AS l FROM reach$r GROUP BY id),
+         |e$r AS MATERIALIZED (
+         |   SELECT la.l AS ca, lb.l AS cb, e.lo, e.hi, e.w
+         |   FROM e${r - 1} e JOIN lbl$r la ON la.id = e.ca
+         |   JOIN lbl$r lb ON lb.id = e.cb
+         |   WHERE la.l <> lb.l)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to rounds).map(r => s"SELECT lo, hi, w FROM sel$r")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT l_orderkey % 937 AS s, l_partkey % 937 AS d,
+       |         CAST(round(l_quantity * 100) AS BIGINT) AS q
+       |  FROM lineitem WHERE l_orderkey % 937 <> l_partkey % 937),
+       |canon AS MATERIALIZED (
+       |  SELECT least(s, d) AS lo, greatest(s, d) AS hi, min(q) AS w
+       |  FROM raw GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT lo AS ca, hi AS cb, lo, hi, w FROM canon
+       |  UNION ALL SELECT hi, lo, lo, hi, w FROM canon),
+       |$steps
+       |SELECT DISTINCT lo, hi, w FROM ($un)""".stripMargin
   }
 
   /** R unrolled Jones-Plassmann rounds — the exact Coloring.run recurrence:

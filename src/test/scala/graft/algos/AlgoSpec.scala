@@ -521,6 +521,34 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(again == colors)
   }
 
+  test("Boruvka: full forest equals the driver Kruskal MST under the same " +
+    "tie-break order; layout-independent") {
+    // weighted graph with REPEATED weights to exercise the (w, lo, hi)
+    // tie-break, plus a disconnected pair {6,7} (forest, not tree)
+    val und = Seq(
+      (0L, 1L, 4L), (0L, 2L, 4L), (1L, 2L, 2L), (1L, 3L, 7L),
+      (2L, 3L, 3L), (3L, 4L, 3L), (2L, 4L, 9L), (4L, 5L, 1L),
+      (0L, 5L, 8L), (6L, 7L, 5L))
+    val sym = (und ++ und.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+    val got = Boruvka.run(spark, sym, 4, maxRounds = 4).forest.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver Kruskal with the identical (w, lo, hi) total order
+    val parent = scala.collection.mutable.Map((0L to 7L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    und.sortBy(t => (t._3, t._1, t._2)).foreach { case (a, b, w) =>
+      if (find(a) != find(b)) { parent(find(a)) = find(b); want += ((a, b, w)) }
+    }
+    assert(got == want.toSet) // 6 edges: the 6-vertex tree + the {6,7} bridge
+    assert(got.size == 6)
+    // layout independence
+    val again = Boruvka.run(spark, sym.repartition(7), 3, maxRounds = 4)
+      .forest.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
   test("GraphStats: modularity of two bridged triangles is 5/14") {
     // triangles {0,1,2} and {3,4,5} joined by the bridge 2-3; labels = which
     // triangle. 2m=14, Sw=12 (both triangles' 6 directed edges), degrees
