@@ -56,8 +56,12 @@ object Clustering {
           .as("score"),
         lit(cid).as("cluster"))
     }
-    xq.withColumn("cluster",
-      least(scored.toIndexedSeq: _*).getField("cluster"))
+    // Spark's least() needs ≥2 args; a lone surviving cluster (every other
+    // one emptied) degenerates to a constant assignment
+    val best =
+      if (scored.length == 1) scored(0)
+      else least(scored.toIndexedSeq: _*)
+    xq.withColumn("cluster", best.getField("cluster"))
   }
 
   /** Lloyd's k-means over k clusters; returns the final hard assignment
