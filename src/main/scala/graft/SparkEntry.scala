@@ -2017,7 +2017,8 @@ object SparkEntry {
     s"""e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |        v -> floor(v * 16777216.0) / 16777216.0) AS xq
        |      FROM embeddings),
-       |c0 AS (SELECT vec_id AS cluster, xq AS cent FROM e WHERE vec_id < $k),
+       |c0 AS (SELECT vec_id AS cluster, xq AS cent FROM e
+       |       ORDER BY vec_id LIMIT $k),
        |$rounds""".stripMargin
   }
 

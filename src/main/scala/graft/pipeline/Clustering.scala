@@ -76,10 +76,14 @@ object Clustering {
     val xq = quantized(emb).persist()
     xq.count()
     try {
-      var cents: Array[(Long, Array[Double])] = xq.filter(col("vec_id") < k)
-        .collect()
+      // the k LOWEST ids, not `vec_id < k`: sparse/offset id spaces (a
+      // filtered corpus) must still seed k centroids. orderBy+limit is a
+      // TakeOrderedAndProject — no global sort
+      var cents: Array[(Long, Array[Double])] = xq.orderBy(col("vec_id"))
+        .limit(k).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1)
+      require(cents.nonEmpty, "k-means needs a non-empty corpus")
       for (_ <- 1 until iters) {
         // the repartition is a compute barrier (see Dedup.simhash / the
         // verify-skill note): without it CollapseProject folds the k-way

@@ -20,6 +20,13 @@ class ClusteringSpec extends AnyFunSuite with SparkTest {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(((0L to 0L) ++ (2L to 6L)).map(got).toSet == Set(0L))
     assert(((1L to 1L) ++ (7L to 11L)).map(got).toSet == Set(1L))
+
+    // sparse/offset id space: the init is the k LOWEST ids, not `id < k`
+    val offset = emb.select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+    val got2 = Clustering.kmeansAssign(offset, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.keySet == (500L to 511L).toSet)
+    assert(got2.map { case (id, c) => (id - 500L, c - 500L) } == got)
   }
 
   test("kmeans assignment is bit-identical across partitionings (real embeddings)") {
