@@ -123,4 +123,21 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     val s = out.df.queryExecution.executedPlan.toString
     assert(s.contains("Join") || s.contains("join"), s)
   }
+
+  test("decontaminate: the benchmark shingle set rides a broadcast LEFT SEMI " +
+    "join (the corpus side never shuffles for the match)") {
+    // the benchmark/eval set is caller-asserted small (KBs-MBs); the 100-TB
+    // corpus must meet it through a broadcast semi-join, not a shuffle
+    val docs = Seq((0L, "a b c d"), (1L, "x y z w")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Dedup.decontaminate(docs, bench)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("broadcast"), plan)
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val semi = graft.pipeline.Dedup.decontaminate(docs, bench)
+      .queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j }
+    assert(semi.nonEmpty, "left-semi join missing")
+  }
 }
