@@ -115,4 +115,30 @@ object KernelPropertySpec extends Properties("Kernels") {
       val cInv = Seq((1L, 0L), (3L, 1L), (5L, 2L)).toDF("old", "new")
       collect(assigned.extract(rInv, cInv, GrbShape(3, 3), smallMaps = true)) == b
     }
+
+  property("Boruvka full drain == driver Kruskal under the (w, lo, hi) order") =
+    forAll(Gen.mapOf(for {
+      i <- Gen.chooseNum(0L, 9L); j <- Gen.chooseNum(0L, 9L)
+      w <- Gen.chooseNum(1L, 4L) // small range forces repeated weights
+      if i != j
+    } yield ((math.min(i, j), math.max(i, j)), w))) { und0 =>
+      import spark.implicits._
+      val und = und0.toSeq.map { case ((a, b), w) => (a, b, w) }
+      und.isEmpty || {
+        val sym = (und ++ und.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+        val got = graft.algos.Boruvka.run(spark, sym, 3, maxRounds = 8)
+          .forest.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val parent = scala.collection.mutable.Map(
+          (0L to 9L).map(i => i -> i): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x
+          else { parent(x) = find(parent(x)); parent(x) }
+        val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+        und.sortBy(t => (t._3, t._1, t._2)).foreach { case (a, b, w) =>
+          if (find(a) != find(b)) { parent(find(a)) = find(b); want += ((a, b, w)) }
+        }
+        got == want.toSet
+      }
+    }
 }
