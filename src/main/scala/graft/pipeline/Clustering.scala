@@ -35,10 +35,13 @@ object Clustering {
   private val Q = 16777216.0
 
   /** One flat projection quantizing the float embedding to exact dyadic
-    * rationals (see object doc). */
+    * rationals (see object doc) — a native codegen expression: this runs
+    * over the full corpus once per Lloyd scan, and the composable
+    * `transform` HOF evaluates interpreted (see QuantizeArray's Scaladoc;
+    * agreement with the composed form is pinned in ClusteringSpec). */
   private def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      transform(col("embedding"), v => floor(v.cast("double") * Q) / Q).as("xq"))
+      graft.functions.QuantizeArray(col("embedding")).as("xq"))
 
   /** Nearest-centroid hard assignment: argmin_c ‖x−c‖² = argmin_c
     * (c·c − 2·x·c) — the x·x term is cluster-independent and dropped. c·c is

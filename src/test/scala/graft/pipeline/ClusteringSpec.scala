@@ -60,6 +60,25 @@ class ClusteringSpec extends AnyFunSuite with SparkTest {
     assert(sses(2) <= sses(1) + 1e-9)
   }
 
+  test("QuantizeArray codegen agrees with the composed transform form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val native = m(emb.select(col("vec_id"),
+      graft.functions.QuantizeArray(col("embedding")).as("q")))
+    val composed = m(emb.select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 16777216.0) / 16777216.0).as("q")))
+    assert(native == composed)
+    // double-typed arrays and negatives go through the same path
+    val d = Seq((1L, Seq(0.1, -2.5, 0.0, 1.0 / 3.0))).toDF("vec_id", "embedding")
+    assert(m(d.select(col("vec_id"),
+      graft.functions.QuantizeArray(col("embedding")).as("q"))) ==
+      m(d.select(col("vec_id"), transform(col("embedding"),
+        v => floor(v * 16777216.0) / 16777216.0).as("q"))))
+  }
+
   test("semanticDedup drops the larger id of a planted duplicate, keeps the rest") {
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(col("vec_id") < 40).select(col("vec_id"), col("embedding"))
