@@ -966,6 +966,27 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) =>
       Clustering.semanticDedup(t(s, d, "embeddings"), k = 8, iters = 2,
         threshold = 0.35)),
+    "media_decode_wav" -> ((s, d) => {
+      // REAL RIFF/WAVE PCM16 parse: payload bytes synthesized from pure row
+      // arithmetic, so the oracle recomputes every decoded feature without
+      // touching bytes — a correct parser is the only way the hashes match
+      val wav = Media.synthesizeWav(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      Media.decodeWav(wav, "wav", "key")
+        .select(col("key").as("doc_id"), col("sample_rate"),
+          col("n_channels"), col("n_samples"), round(col("rms"), 6).as("rms"))
+    }),
+
+    "media_decode_image" -> ((s, d) => {
+      val ppm = Media.synthesizePpm(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      Media.decodePpm(ppm, "ppm", "key")
+        .select(col("key").as("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     "media_meta" -> ((s, d) =>
       Media.metadata(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -1980,7 +2001,26 @@ object SparkEntry {
 
     "media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS content_md5 FROM documents""".stripMargin
+        |  md5(text) AS content_md5 FROM documents""".stripMargin,
+
+    "media_decode_wav" ->
+      """WITH s AS (SELECT doc_id,
+        |    ((doc_id * 131 + u.i * 7919) % 65536) - 32768 AS s
+        |  FROM documents, unnest(range(0, 64)) u(i))
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels, CAST(64 AS BIGINT) AS n_samples,
+        |  round(sqrt(CAST(sum(s * s) AS DOUBLE) / 64), 6) AS rms
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "media_decode_image" ->
+      """WITH p AS (SELECT doc_id, u.k % 3 AS chan,
+        |    (doc_id * 37 + u.k * 101) % 256 AS v
+        |  FROM documents, unnest(range(0, 432)) u(k))
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height,
+        |  round(CAST(sum(CASE WHEN chan = 0 THEN v END) AS DOUBLE) / 144, 6) AS mean_r,
+        |  round(CAST(sum(CASE WHEN chan = 1 THEN v END) AS DOUBLE) / 144, 6) AS mean_g,
+        |  round(CAST(sum(CASE WHEN chan = 2 THEN v END) AS DOUBLE) / 144, 6) AS mean_b
+        |FROM p GROUP BY doc_id""".stripMargin
   )
 
   // ---- longer SQL bodies built with the same constants as the Scala code ----

@@ -95,4 +95,52 @@ class PagesSpec extends AnyFunSuite with SparkTest {
     assert(dec.filter(col("fake_width") =!= 220).count() == 0)
     assert(dec.filter(col("fake_mean_luma") <= 0 || col("fake_mean_luma") >= 1).count() == 0)
   }
+
+  test("WAV decode: real RIFF parse recovers header + RMS; malformed dropped") {
+    import spark.implicits._
+    val keys = Seq(0L, 1L, 7L).toDF("doc_id")
+    val wav = Media.synthesizeWav(keys, "doc_id", nSamples = 64, sampleRate = 8000)
+    val got = Media.decodeWav(wav, "wav", "key").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == Set(0L, 1L, 7L))
+    got.foreach { case (key, (rate, ch, n, rms)) =>
+      assert(rate == 8000L && ch == 1L && n == 64L)
+      // recompute RMS from the generating arithmetic
+      val want = math.sqrt((0 until 64).map { i =>
+        val s = ((key * 131 + i.toLong * 7919) % 65536) - 32768
+        (s * s).toDouble
+      }.sum / 64)
+      assert(math.abs(rms - want) < 1e-9)
+    }
+    // corrupt magic → row dropped, not a crash
+    val bad = wav.withColumn("wav",
+      when(col("key") === 1L, lit("JUNK".getBytes)).otherwise(col("wav")))
+    assert(Media.decodeWav(bad, "wav", "key").count() == 2)
+  }
+
+  test("PPM decode: real P6 parse (comment-tolerant) recovers dims + channel means") {
+    import spark.implicits._
+    val keys = Seq(3L, 4L).toDF("doc_id")
+    val ppm = Media.synthesizePpm(keys, "doc_id", w = 16, h = 9)
+    val got = Media.decodePpm(ppm, "ppm", "key").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    got.foreach { case (key, (w, h, mr, mg, mb)) =>
+      assert(w == 16L && h == 9L)
+      def mean(chan: Int) = (0 until 144).map { px =>
+        ((key * 37 + (3L * px + chan) * 101) % 256).toDouble
+      }.sum / 144
+      assert(math.abs(mr - mean(0)) < 1e-9)
+      assert(math.abs(mg - mean(1)) < 1e-9)
+      assert(math.abs(mb - mean(2)) < 1e-9)
+    }
+    // a hand-built payload with a header comment still parses
+    val px = Array.tabulate(1 * 2 * 3)(i => (i * 10).toByte)
+    val hand = ("P6\n# a comment\n1 2\n255\n".getBytes("US-ASCII") ++ px)
+    val one = Seq((9L, hand)).toDF("key", "ppm")
+    val r = Media.decodePpm(one, "ppm", "key").collect()(0)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - (0 + 30) / 2.0) < 1e-9)
+  }
 }
