@@ -1787,7 +1787,7 @@ object SparkEntry {
         |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^/@]*@', '') AS hostport,
         |  regexp_extract(url,
         |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
-        |  regexp_extract(url, '([?][^#]*)', 1) AS qry
+        |  regexp_extract(url, '^[^#?]*([?][^#]*)', 1) AS qry
         |FROM u),
         |h AS (SELECT doc_id, sch, pth, qry,
         |  lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
@@ -1955,7 +1955,8 @@ object SparkEntry {
 
     "embedding_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS list_id, emb AS cent FROM e WHERE vec_id < 16),
+        |c AS (SELECT vec_id AS list_id, emb AS cent FROM e
+        |      ORDER BY vec_id LIMIT 16),
         |r AS (SELECT e.vec_id, c.list_id,
         |        round(list_dot_product(e.emb, c.cent) /
         |          (sqrt(list_dot_product(e.emb, e.emb)) *
@@ -2132,9 +2133,10 @@ object SparkEntry {
          |  SELECT walk, CAST($t AS BIGINT) AS step, id FROM (
          |    SELECT w.walk, e.dst AS id,
          |      row_number() OVER (PARTITION BY w.walk ORDER BY
-         |        ((w.walk * 2654435761) % 2147483647 +
-         |         (w.id * 40503) % 2147483647 +
-         |         (e.dst * 69069) % 2147483647 + $stepC) % 2147483647,
+         |        ((w.walk % 2147483647) * 2654435761 % 2147483647 +
+         |         (w.id % 2147483647) * 40503 % 2147483647 +
+         |         (e.dst % 2147483647) * 69069 % 2147483647 + $stepC)
+         |          % 2147483647,
          |        e.dst) AS rn
          |    FROM w${t - 1} w JOIN base e ON e.src = w.id) WHERE rn = 1)"""
         .stripMargin

@@ -30,10 +30,15 @@ object BowTie {
     val sccRes = SCC.run(spark, edges, numPartitions)
     val comp = sccRes.components // already a flat materialized Ckpt plan
 
-    // giant SCC, deterministic tie-break on the smaller scc id
+    // giant SCC, deterministic tie-break on the smaller scc id. headOption:
+    // an empty edge set yields an empty SCC relation, and the result is
+    // then an empty classification, not a NoSuchElementException on the
+    // driver (coreId = -2 matches no vertex and collides with neither real
+    // ids nor the -1 sentinel below).
     val coreId = comp.groupBy("scc").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("scc"))
-      .select(col("scc")).limit(1).collect().head.getLong(0)
+      .select(col("scc")).limit(1).collect()
+      .headOption.map(_.getLong(0)).getOrElse(-2L)
 
     val seed = comp.select(col("id"),
       when(col("scc") === coreId, lit(-1L)).otherwise(col("id")).as("c"))

@@ -31,12 +31,16 @@ object RandomWalk {
   private val M = 2147483647L // 2^31 - 1: keeps every mixed term < 2^63
 
   /** cross-engine next-hop score: identical semantics in Spark and DuckDB
-    * (positive BIGINT multiply/add/mod only — no overflow, no engine hash) */
+    * (positive BIGINT multiply/add/mod only — no engine hash). Each id is
+    * reduced mod M BEFORE the multiply, as in Sampling.hashBucket: (M−1) ·
+    * 2654435761 < 2^63, so the arithmetic never overflows for ANY 64-bit
+    * vertex/walk id (a raw `walk * 2654435761` wraps negative in Spark and
+    * raises in DuckDB once ids exceed ~3.5e9). */
   private def score(walk: org.apache.spark.sql.Column,
                     u: org.apache.spark.sql.Column,
                     dst: org.apache.spark.sql.Column, t: Int) =
-    ((walk * lit(2654435761L)) % M + (u * lit(40503L)) % M +
-      (dst * lit(69069L)) % M + lit(t * 1013904223L % M)) % M
+    ((walk % M) * lit(2654435761L) % M + (u % M) * lit(40503L) % M +
+      (dst % M) * lit(69069L) % M + lit(t * 1013904223L % M)) % M
 
   /** One `walkLength`-step walk from every distinct source vertex.
     * Output: (walk, step, id) — walk = start vertex, step 0..walkLength. */

@@ -39,10 +39,13 @@ case class QuantizeArray(child: Expression) extends UnaryExpression {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     val out = new Array[Double](n)
+    // hoisted: elemIsFloat pattern-matches dataType — once per row, not
+    // once per element (768× redundant on an embedding corpus)
+    val isF = elemIsFloat
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i)) {
-        val v = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val v = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
         out(i) = math.floor(v * Q) / Q
       }
       i += 1

@@ -12,11 +12,14 @@ import org.apache.spark.storage.StorageLevel
   * (`graphblas/core/ss/matrix.py:1163` import_csr), re-expressed as a
   * persisted, hash-partitioned Dataset of packed neighbor arrays:
   *
-  *   (src: long, deg: long, dsts: array<long>)
+  *   (src: long, deg: long, dsts: array<long|int>)
   *
   * `deg` is the FULL out-degree of src (not the chunk length), so PageRank's
   * per-edge contribution `score/deg` needs no extra degree join at
-  * iteration time.
+  * iteration time. NOTE the element type of `dsts` is INT whenever
+  * numVertices fits (fromPacked's int-packing — half the shuffle/cache
+  * bytes); consumers must cast the exploded element back to long before
+  * joining/aggregating against long-keyed state, as PageRank/PPR/HITS do.
   *
   * Hub salting: a vertex with out-degree above `maxChunk` is split into
   * ceil(deg/maxChunk) rows via arithmetic on dst (`dst % nChunks`) — no

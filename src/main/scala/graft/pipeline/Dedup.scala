@@ -116,13 +116,26 @@ object Dedup {
   def dedupClusters(spark: SparkSession, docs: DataFrame,
                     threshold: Double = 0.5, w: Int = 3,
                     maxDf: Int = 50): DataFrame = {
-    val nDocs = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    val mx = docs.agg(max(col("doc_id"))).collect()(0)
+    if (mx.isNullAt(0)) {
+      // empty corpus → empty clustering (max(doc_id) is SQL NULL; the
+      // former getLong would NPE on the driver)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("cluster_id"), lit(1L).as("is_canonical"))
+    }
+    val nDocs = mx.getLong(0) + 1
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pairs = ngramJaccardPairs(docs, threshold, w, maxDf)
       .select(col("doc_a"), col("doc_b"))
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     ConnectedComponents.run(spark, sym, nDocs, parts).components
+      // CC seeds the dense range 0..max(doc_id): under a SPARSE id space
+      // (a filtered corpus) the range rows with no matching document must
+      // not surface as phantom singleton clusters — keep only real ids.
+      // A cluster's min-id representative is always a real doc (edges only
+      // connect real ids), so canonical flags are unaffected.
+      .join(docs.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).cast("long").as("is_canonical"))
   }

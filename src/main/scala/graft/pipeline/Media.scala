@@ -101,7 +101,13 @@ object Media {
             var rate = -1L; var ch = -1L; var bits = -1
             var dataOff = -1; var dataLen = 0
             while (o + 8 <= b.length) {
-              val id = tag(b, o); val sz = le32(b, o + 4).toInt
+              // chunk size stays a Long (le32 is unsigned 0..2^32-1): a
+              // crafted/corrupt size near 2^32 must not wrap negative and
+              // stall or walk o backwards — the cursor advance below is
+              // monotone (+>=8) in Long, then clamped to b.length, so the
+              // walk always terminates and a damaged chunk just truncates
+              // the payload (malformed rows are DROPPED, per the contract)
+              val id = tag(b, o); val szL = le32(b, o + 4)
               if (id == "fmt " && o + 8 + 16 <= b.length) {
                 val fmt = le16(b, o + 8)
                 ch = le16(b, o + 10).toLong
@@ -109,9 +115,11 @@ object Media {
                 bits = le16(b, o + 22)
                 if (fmt != 1) rate = -1 // non-PCM -> reject
               } else if (id == "data") {
-                dataOff = o + 8; dataLen = math.min(sz, b.length - dataOff)
+                dataOff = o + 8
+                dataLen = math.min(szL, (b.length - dataOff).toLong).toInt
               }
-              o += 8 + sz + (sz & 1) // chunks are word-aligned
+              val next = o.toLong + 8L + szL + (szL & 1L) // word-aligned
+              o = if (next > b.length) b.length else next.toInt
             }
             if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0) None
             else {
@@ -187,7 +195,10 @@ object Media {
             skipWs()
             val s = o
             while (o < b.length && b(o).toChar.isDigit) o += 1
-            if (o == s) None
+            // cap at 9 digits: anything longer cannot be a sane dimension
+            // and would throw NumberFormatException inside the task (the
+            // contract is DROP malformed payloads, never fail the job)
+            if (o == s || o - s > 9) None
             else Some(new String(b, s, o - s, "US-ASCII").toInt)
           }
           if (b.length < 2 || b(0) != 'P' || b(1) != '6') None
@@ -195,10 +206,18 @@ object Media {
             o = 2
             (for { w <- int(); h <- int(); mx <- int() } yield (w, h, mx)) match {
               case Some((w, h, 255)) if w > 0 && h > 0 =>
-                o += 1 // the single whitespace byte after maxval
-                val n = w * h
-                if (b.length - o < n * 3) None
+                // exactly ONE whitespace byte after maxval, per the netpbm
+                // P6 spec (a \r\n here means the raster starts with \n —
+                // such text-mode-written files are malformed and get the
+                // usual drop-or-truncate treatment)
+                o += 1
+                // dims are individually <= 999999999 (9-digit cap above) so
+                // w*h needs Long; after the length check n*3 <= b.length
+                // fits Int again
+                val nL = w.toLong * h
+                if ((b.length - o).toLong < nL * 3) None
                 else {
+                  val n = nL.toInt
                   var sr = 0L; var sg = 0L; var sb = 0L; var k = 0
                   while (k < n) {
                     sr += b(o + 3 * k) & 0xff

@@ -141,7 +141,12 @@ object Similarity {
   def annTopKIvf(emb: DataFrame, nlist: Int = 16, nprobe: Int = 2,
                  k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = emb.filter(col("vec_id") < nlist)
+    // the nlist LOWEST ids, not `vec_id < nlist`: sparse/offset id spaces
+    // (a filtered corpus) must still seed nlist centroids — same bootstrap
+    // as Clustering.kmeansAssign. orderBy+limit plans as a
+    // TakeOrderedAndProject (top-nlist per partition, no global sort), and
+    // the result is broadcast below anyway.
+    val cents = emb.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("list_id"), col("embedding").as("cent"))
     // skinny centroid ranking: (vec_id, list_id, csim) only
     val ranked = emb.join(broadcast(cents))

@@ -42,7 +42,12 @@ object UrlOps {
   /** path component (no query/fragment), original case, may be "" */
   def path(url: Column): Column = regexp_extract(url, pathRe, 1)
 
-  def query(url: Column): Column = regexp_extract(url, "([?][^#]*)", 1)
+  /** query incl. '?', "" when absent. Anchored scan: the '?' must appear
+    * BEFORE any '#' — RFC 3986 allows '?' inside a fragment (`#sec?x=1`),
+    * and an unanchored `([?][^#]*)` would resurrect such fragment content
+    * as a bogus query (wrong crawl-frontier key after normalize). */
+  def query(url: Column): Column =
+    regexp_extract(url, "^[^#?]*([?][^#]*)", 1)
 
   /** last-two-labels approximation of the registrable domain. The real
     * public-suffix list is a data file this image does not ship; under a

@@ -240,6 +240,20 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(c == Set((0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L),
       (1L, 0L, 1L), (1L, 1L, 2L)))
+    // ids above 2^33: the mod-before-multiply score must not overflow —
+    // the hop is still the driver-replayed argmin (raw `id * 2654435761`
+    // would wrap negative in Spark and error in the DuckDB oracle)
+    val big = 9000000000L
+    val bigE = Seq((big, big + 1), (big, big + 2), (big, big + 3))
+      .toDF("src", "dst")
+    val bh = RandomWalk.corpus(spark, bigE, walkLength = 1, numPartitions = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    def hBig(w: Long, t: Int, u: Long, d: Long) =
+      ((w % M) * 2654435761L % M + (u % M) * 40503L % M +
+        (d % M) * 69069L % M + t * 1013904223L % M) % M
+    val wantHop = Seq(big + 1, big + 2, big + 3)
+      .minBy(d => (hBig(big, 1, big, d), d))
+    assert(bh === Map(0L -> big, 1L -> wantHop))
   }
 
   test("Betweenness: hand-computed Brandes on path and diamond; truncation; batching") {
@@ -384,6 +398,9 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     val got = res.classes.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(2L -> "core", 3L -> "core", 0L -> "in", 1L -> "in",
       4L -> "out", 5L -> "out", 6L -> "other", 7L -> "other", 8L -> "other"))
+    // an empty edge set classifies nothing instead of NoSuchElementException
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(BowTie.run(spark, none, numPartitions = 2).classes.count() == 0)
   }
 
   test("SCC: a single directed cycle is one component keyed by its min vertex") {

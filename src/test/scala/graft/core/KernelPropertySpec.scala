@@ -117,11 +117,13 @@ object KernelPropertySpec extends Properties("Kernels") {
     }
 
   property("Boruvka full drain == driver Kruskal under the (w, lo, hi) order") =
+    // generate i < j directly (dependent choose) — a `if i != j` filter here
+    // compounds across Gen.mapOf's elements and exhausts ScalaCheck's
+    // discard budget on large maps (observed: "gave up after 7 passed")
     forAll(Gen.mapOf(for {
-      i <- Gen.chooseNum(0L, 9L); j <- Gen.chooseNum(0L, 9L)
+      i <- Gen.chooseNum(0L, 8L); j <- Gen.chooseNum(i + 1, 9L)
       w <- Gen.chooseNum(1L, 4L) // small range forces repeated weights
-      if i != j
-    } yield ((math.min(i, j), math.max(i, j)), w))) { und0 =>
+    } yield ((i, j), w))) { und0 =>
       import spark.implicits._
       val und = und0.toSeq.map { case ((a, b), w) => (a, b, w) }
       und.isEmpty || {

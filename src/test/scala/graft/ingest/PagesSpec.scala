@@ -143,4 +143,27 @@ class PagesSpec extends AnyFunSuite with SparkTest {
     assert(r.getLong(1) == 1L && r.getLong(2) == 2L)
     assert(math.abs(r.getDouble(3) - (0 + 30) / 2.0) < 1e-9)
   }
+
+  test("media decoders drop crafted/corrupt payloads: overflowing RIFF " +
+    "chunk size terminates, oversized PPM headers never throw") {
+    import spark.implicits._
+    // WAV whose first chunk advertises size 0xFFFFFFF8 (-8 if parsed as
+    // int32): the chunk walk must terminate and the row must be dropped
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(0xFFFFFFF8).array()
+    val good = Media.synthesizeWav(Seq(2L).toDF("doc_id"), "doc_id", 8, 8000)
+      .collect()(0).getAs[Array[Byte]](1)
+    val wavs = Seq((1L, evil), (2L, good)).toDF("key", "wav")
+    val keep = Media.decodeWav(wavs, "wav", "key").collect()
+    assert(keep.map(_.getLong(0)).toSeq == Seq(2L))
+    // PPM with an 11-digit width (would NumberFormatException on toInt)
+    // and one whose w*h overflows Int (50000×50000): both dropped
+    val p1 = "P6\n99999999999 1\n255\n".getBytes("US-ASCII")
+    val p2 = "P6\n50000 50000\n255\nxxx".getBytes("US-ASCII")
+    val ppms = Seq((1L, p1), (2L, p2)).toDF("key", "ppm")
+    assert(Media.decodePpm(ppms, "ppm", "key").count() == 0)
+  }
 }

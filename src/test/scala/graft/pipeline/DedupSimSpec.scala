@@ -91,6 +91,32 @@ class DedupSimSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("IVF ANN seeds centroids from the LOWEST ids, so an offset/sparse " +
+    "id space still builds a working index") {
+    // ids start at 1000: a `vec_id < nlist` quantizer would select zero
+    // centroids and silently return an empty result
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).withColumn("vec_id", col("vec_id") + 1000L)
+    val got = Similarity.annTopKIvf(emb, nlist = 4, nprobe = 4, k = 3)
+    assert(got.count() > 0, "offset id space must still produce neighbors")
+    assert(got.agg(min(col("query_id"))).collect()(0).getLong(0) >= 1000L)
+  }
+
+  test("dedupClusters: empty corpus returns empty (no driver NPE); sparse " +
+    "ids surface NO phantom documents") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dedupClusters(spark, empty).count() == 0)
+    // two near-dup docs with far-apart sparse ids: output must contain
+    // EXACTLY the two real ids (the CC range-seed rows must not leak)
+    val docs = Seq(
+      (5L, "alpha beta gamma delta epsilon"),
+      (90000L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dedupClusters(spark, docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((5L, 5L, 1L), (90000L, 5L, 0L)))
+  }
+
   test("shingle df-cap defuses a hot-shingle candidate bomb") {
     val hot = "the quick brown fox jumps over"
     val docs = (0 until 60)

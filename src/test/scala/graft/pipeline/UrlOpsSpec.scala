@@ -48,4 +48,14 @@ class UrlOpsSpec extends AnyFunSuite with SparkTest {
     val (h, _, p, d, _) = eval("example.com/x")
     assert(h === "" && p === null && d === 0)
   }
+
+  test("'?' inside a fragment is NOT a query (RFC 3986 allows it there): " +
+    "normalize drops the whole fragment") {
+    // an unanchored query regex would resurrect '?x=1' from the fragment
+    assert(eval("https://h.example/path#sec?x=1")._5 ===
+      "https://h.example/path")
+    // and a real query followed by a fragment still survives intact
+    assert(eval("https://h.example/path?q=2#sec?x=1")._5 ===
+      "https://h.example/path?q=2")
+  }
 }
