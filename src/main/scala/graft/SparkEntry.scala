@@ -7,7 +7,7 @@ import graft.core.Extras._
 import graft.graph.{Adjacency, Contraction}
 import graft.pipeline.UrlOps
 import graft.algos._
-import graft.pipeline.{Clustering, Dedup, Media, Sampling, Similarity, TextOps}
+import graft.pipeline.{Clustering, Dedup, Media, Sampling, Selection, Similarity, TextOps}
 import graft.ingest.Pages
 import graft.runtime.IterationCheckpointer
 
@@ -991,7 +991,47 @@ object SparkEntry {
       Media.metadata(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "payload", "doc_id")
-        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("content_md5")))
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("content_md5"))),
+
+    // ===== data selection (distribution-level filters) =====
+    "lm_bits" -> ((s, d) => Selection.lmBits(t(s, d, "documents"))),
+
+    "dsir_weights" -> ((s, d) => {
+      // target distribution stand-in: every 97th document (same convention
+      // as decontaminate's benchmark); weights tilt the corpus toward it
+      val docs = t(s, d, "documents")
+      Selection.dsirWeights(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
+
+    // ===== table-format source (BASELINE.json input_hint names an Iceberg
+    // table; no Iceberg jars ship in this image, so ingest/IcebergLite
+    // implements the v2 metadata chain from the public spec) =====
+    "iceberg_roundtrip" -> ((s, d) => {
+      // two appends → two snapshots, identity-partitioned by lang; the
+      // CURRENT snapshot read walks version-hint → metadata.json →
+      // manifest-list Avro → manifest Avro → parquet and must hash-match
+      // the raw table via the oracle
+      val dir = java.nio.file.Files.createTempDirectory("graft-iceberg").toString
+      val docs = t(s, d, "documents")
+      graft.ingest.IcebergLite.append(docs.filter(col("doc_id") % 2 === 0),
+        dir, partitionCols = Seq("lang"), nowMs = 1000L)
+      graft.ingest.IcebergLite.append(docs.filter(col("doc_id") % 2 =!= 0),
+        dir, partitionCols = Seq("lang"), nowMs = 2000L)
+      graft.ingest.IcebergLite.readTable(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    "iceberg_prune" -> ((s, d) => {
+      // partition-pruned snapshot read: only lang=en files are planned
+      // (manifest bounds + file tuples); correctness of the pruning is the
+      // oracle's WHERE clause
+      val dir = java.nio.file.Files.createTempDirectory("graft-iceberg").toString
+      graft.ingest.IcebergLite.append(t(s, d, "documents"), dir,
+        partitionCols = Seq("lang"), nowMs = 1000L)
+      graft.ingest.IcebergLite.readTable(s, dir,
+          partitionFilter = Map("lang" -> "en"))
+        .select(col("doc_id"), col("lang"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2021,7 +2061,17 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN chan = 0 THEN v END) AS DOUBLE) / 144, 6) AS mean_r,
         |  round(CAST(sum(CASE WHEN chan = 1 THEN v END) AS DOUBLE) / 144, 6) AS mean_g,
         |  round(CAST(sum(CASE WHEN chan = 2 THEN v END) AS DOUBLE) / 144, 6) AS mean_b
-        |FROM p GROUP BY doc_id""".stripMargin
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    "lm_bits" -> lmBitsSql,
+    "dsir_weights" -> dsirSql,
+
+    // IcebergLite round trips: whatever the metadata chain plans and the
+    // scan returns must equal the raw parquet table
+    "iceberg_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
+    "iceberg_prune" ->
+      "SELECT doc_id, lang FROM documents WHERE lang = 'en'"
   )
 
   // ---- longer SQL bodies built with the same constants as the Scala code ----
@@ -2473,6 +2523,60 @@ object SparkEntry {
        |FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05"""
       .stripMargin
+
+  /** mirror of Selection.occRows as chained CTEs `t, hh, occ`: one row per
+    * token OCCURRENCE with the 62-bit token id and the 62-bit id of the
+    * bigram starting there (NULL on each doc's last token). */
+  private def sqlOccCtes: String =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+       |           FROM documents),
+       |hh AS (SELECT doc_id,
+       |         list_transform(w, tok -> ${sqlPolyHash("tok", 31, 2147483647L, 10007L)}) AS h1,
+       |         list_transform(w, tok -> ${sqlPolyHash("reverse(tok)", 37, 2147483629L, 10009L)}) AS h2
+       |       FROM t),
+       |occ AS (SELECT doc_id, h1[i] * 2147483648 + h2[i] AS uid,
+       |         CASE WHEN i < len(h1) THEN
+       |           ((h1[i] * ${Dedup.shingleK} + h1[i+1]) % 2147483647) * 2147483648
+       |             + (h2[i] * ${Dedup.shingleK} + h2[i+1]) % 2147483629
+       |         END AS bid
+       |       FROM hh, unnest(range(1, len(h1) + 1)) u(i))""".stripMargin
+
+  /** mirror of Selection.lmBits (add-k bigram LM, k = 0.5) */
+  private def lmBitsSql: String =
+    s"""WITH $sqlOccCtes,
+       |cu AS (SELECT uid AS id, count(*) AS c FROM occ GROUP BY 1),
+       |cb AS (SELECT bid AS id, count(*) AS c FROM occ WHERE bid IS NOT NULL GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM cu),
+       |p AS (SELECT o.doc_id, (ln(cu.c + 0.5 * v.v) - ln(cb.c + 0.5)) / ln(2) AS bits
+       |      FROM occ o JOIN cu ON cu.id = o.uid JOIN cb ON cb.id = o.bid CROSS JOIN v
+       |      WHERE o.bid IS NOT NULL),
+       |pd AS (SELECT doc_id, count(*) AS nb, round(avg(bits), 6) AS lm_bits FROM p GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(pd.nb, 0) AS BIGINT) AS n_bigrams, pd.lm_bits
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
+
+  /** mirror of Selection.dsirWeights (B = 4093 buckets, k = 0.5, target =
+    * every 97th doc; target features = the raw features of target docs) */
+  private def dsirSql: String = {
+    val b = 4093
+    s"""WITH $sqlOccCtes,
+       |fr AS (SELECT doc_id, uid % $b AS bucket FROM occ
+       |       UNION ALL SELECT doc_id, bid % $b FROM occ WHERE bid IS NOT NULL),
+       |ft AS (SELECT * FROM fr WHERE doc_id % 97 = 0),
+       |cr AS (SELECT bucket, count(*) AS c FROM fr GROUP BY 1),
+       |ct AS (SELECT bucket, count(*) AS c FROM ft GROUP BY 1),
+       |nr AS (SELECT count(*) AS n FROM fr),
+       |nt AS (SELECT count(*) AS n FROM ft),
+       |dom AS (SELECT u.b AS bucket FROM unnest(range(0, $b)) u(b)),
+       |lam AS (SELECT dom.bucket,
+       |         ln((coalesce(ct.c, 0) + 0.5) / (nt.n + 0.5 * $b))
+       |       - ln((coalesce(cr.c, 0) + 0.5) / (nr.n + 0.5 * $b)) AS lam
+       |        FROM dom LEFT JOIN cr USING (bucket) LEFT JOIN ct USING (bucket)
+       |        CROSS JOIN nr CROSS JOIN nt),
+       |pd AS (SELECT f.doc_id, count(*) AS nf, round(sum(l.lam), 6) AS dsir_logw
+       |       FROM fr f JOIN lam l ON l.bucket = f.bucket GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(pd.nf, 0) AS BIGINT) AS n_feats, pd.dsir_logw
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
+  }
 
   private def sqlShingleCtes: String =
     s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w

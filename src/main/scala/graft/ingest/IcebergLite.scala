@@ -1,0 +1,680 @@
+package graft.ingest
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal Apache Iceberg v2 table support, from the PUBLIC table-format
+  * spec (https://iceberg.apache.org/spec/) — no Iceberg jars ship in this
+  * image (restated every round; `BASELINE.json input_hint` names an Iceberg
+  * table of web pages), so the metadata layer is implemented here directly:
+  *
+  *   version-hint.text → vN.metadata.json (JSON) → snapshot → manifest-list
+  *   (Avro) → manifests (Avro) → parquet data files,
+  *
+  * exactly the resolution chain a real Iceberg reader walks. Everything
+  * metadata is DRIVER-side and O(#files) — the data path is an ordinary
+  * distributed `spark.read.schema(…).parquet(files…)` scan with the schema
+  * taken from table metadata (no inference job), which is precisely how
+  * Iceberg's own Spark reader is shaped: plan files on the driver, scan in
+  * parallel. Supported read surface:
+  *
+  *   - snapshot resolution: current, by snapshot-id, or as-of timestamp
+  *     (time travel over `snapshots` + `timestamp-ms`)
+  *   - manifest-level partition pruning via the `partitions` field summaries
+  *     (lower/upper bounds) — at 10^12 docs this is what keeps planning
+  *     O(touched-manifests), not O(all-files)
+  *   - file-level pruning on identity-partition tuples
+  *   - status=DELETED entries skipped; v1-vs-v2 field-name drift tolerated
+  *     (`added_files_count` vs `added_data_files_count`, …) by defensive
+  *     by-name access
+  *
+  * Row-level delete files (manifest `content=1` / data-file `content!=0`)
+  * are NOT supported and fail loudly — this engine's ingest contract is
+  * append-only crawl snapshots.
+  *
+  * The writer exists to produce spec-shaped fixtures (and is honest
+  * append-only Iceberg: accumulated manifest list per snapshot, sequence
+  * numbers, partition summaries, `field-id` props on every Avro field).
+  * Identity partition columns carry a small-cardinality contract (each
+  * distinct tuple is one driver-side parquet write — `lang` with 6 values,
+  * not `url`); a real high-volume writer distributes that fan-out, but the
+  * LAYOUT produced is the same, which is what the reader cares about.
+  * When real Iceberg jars are on the classpath, `readTable` is a one-line
+  * switch to `spark.read.table` (SURVEY.md §8).
+  */
+object IcebergLite {
+
+  /** One planned data file: absolute path, identity-partition tuple,
+    * footer row count, size in bytes. */
+  final case class DataFileInfo(path: String, partition: Map[String, String],
+                                recordCount: Long, sizeBytes: Long)
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(p: Path, spark: SparkSession): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------------
+  // type mapping (Spark ↔ Iceberg schema JSON)
+  // ------------------------------------------------------------------
+
+  private def icebergType(dt: DataType, nextId: () => Int): Object = dt match {
+    case LongType      => "long"
+    case IntegerType   => "int"
+    case DoubleType    => "double"
+    case FloatType     => "float"
+    case StringType    => "string"
+    case BinaryType    => "binary"
+    case BooleanType   => "boolean"
+    case TimestampType => "timestamptz"
+    case DateType      => "date"
+    case ArrayType(elem, _) =>
+      val n = mapper.createObjectNode()
+      n.put("type", "list")
+      n.put("element-id", nextId())
+      n.put("element", icebergType(elem, nextId).toString)
+      n.put("element-required", false)
+      n
+    case other => throw new IllegalArgumentException(
+      s"IcebergLite: unsupported column type $other")
+  }
+
+  private def sparkType(t: String): DataType = t match {
+    case "long" => LongType
+    case "int" => IntegerType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "boolean" => BooleanType
+    case "timestamptz" | "timestamp" => TimestampType
+    case "date" => DateType
+    case other => throw new IllegalArgumentException(
+      s"IcebergLite: unsupported metadata type $other")
+  }
+
+  /** Spark StructType from the table-metadata Iceberg schema — the read
+    * schema comes from METADATA, not parquet inference (one less job, and
+    * the empty-table case still has a schema). */
+  private def schemaFromMetadata(meta: ObjectNode): StructType = {
+    val schemaId = meta.get("current-schema-id").asInt
+    val schemas = meta.get("schemas").elements.asScala.toSeq
+    val s = schemas.find(_.get("schema-id").asInt == schemaId)
+      .getOrElse(throw new IllegalStateException("current-schema-id missing from schemas"))
+    StructType(s.get("fields").elements.asScala.toSeq.map { f =>
+      val dt = f.get("type") match {
+        case t if t.isTextual => sparkType(t.asText)
+        case t if t.isObject && t.get("type").asText == "list" =>
+          ArrayType(sparkType(t.get("element").asText),
+            containsNull = !t.get("element-required").asBoolean(false))
+        case t => throw new IllegalArgumentException(s"IcebergLite: unsupported nested type $t")
+      }
+      StructField(f.get("name").asText, dt, nullable = true)
+    })
+  }
+
+  // ------------------------------------------------------------------
+  // Avro schemas (field names + field-id props per the v2 spec)
+  // ------------------------------------------------------------------
+
+  private val fieldSummarySchema =
+    """{"type":"record","name":"r508","fields":[
+      |{"name":"contains_null","type":"boolean","field-id":509},
+      |{"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+      |{"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      |{"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      |]}""".stripMargin
+
+  private lazy val manifestListSchema: Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_file","fields":[
+       |{"name":"manifest_path","type":"string","field-id":500},
+       |{"name":"manifest_length","type":"long","field-id":501},
+       |{"name":"partition_spec_id","type":"int","field-id":502},
+       |{"name":"content","type":"int","field-id":517},
+       |{"name":"sequence_number","type":"long","field-id":515},
+       |{"name":"min_sequence_number","type":"long","field-id":516},
+       |{"name":"added_snapshot_id","type":"long","field-id":503},
+       |{"name":"added_files_count","type":"int","field-id":504},
+       |{"name":"existing_files_count","type":"int","field-id":505},
+       |{"name":"deleted_files_count","type":"int","field-id":506},
+       |{"name":"added_rows_count","type":"long","field-id":512},
+       |{"name":"existing_rows_count","type":"long","field-id":513},
+       |{"name":"deleted_rows_count","type":"long","field-id":514},
+       |{"name":"partitions","type":["null",{"type":"array",
+       |  "items":$fieldSummarySchema,"element-id":508}],
+       |  "default":null,"field-id":507}
+       |]}""".stripMargin)
+
+  /** Partition tuple record (r102): identity transforms only; the Avro
+    * field type mirrors the source column (string/long/int). Unpartitioned
+    * tables get the spec's empty struct. */
+  private def partitionRecordSchema(cols: Seq[(String, DataType)]): String = {
+    val fields = cols.zipWithIndex.map { case ((n, dt), i) =>
+      val t = dt match {
+        case StringType => "\"string\""
+        case LongType   => "\"long\""
+        case IntegerType => "\"int\""
+        case other => throw new IllegalArgumentException(
+          s"IcebergLite: unsupported partition column type $other")
+      }
+      s"""{"name":"$n","type":["null",$t],"default":null,"field-id":${1000 + i}}"""
+    }
+    s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}"""
+  }
+
+  private def manifestEntrySchema(cols: Seq[(String, DataType)]): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","type":${partitionRecordSchema(cols)},"field-id":102},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"split_offsets","type":["null",{"type":"array","items":"long",
+         |    "element-id":133}],"default":null,"field-id":132},
+         |  {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+         |]},"field-id":2}
+         |]}""".stripMargin)
+
+  // ------------------------------------------------------------------
+  // small avro/json helpers
+  // ------------------------------------------------------------------
+
+  /** Defensive by-name access with v1/v2 fallback names; Utf8 → String. */
+  private def get(rec: GenericRecord, names: String*): Any = {
+    val it = names.iterator
+    while (it.hasNext) {
+      val n = it.next()
+      if (rec.getSchema.getField(n) != null) {
+        val v = rec.get(n)
+        if (v != null) return v
+      }
+    }
+    null
+  }
+  private def asString(v: Any): String = v match {
+    case null => null
+    case s => s.toString
+  }
+  private def asLong(v: Any, dflt: Long = 0L): Long = v match {
+    case null => dflt
+    case n: java.lang.Number => n.longValue
+    case other => other.toString.toLong
+  }
+
+  private def readAvro(spark: SparkSession, path: Path): Seq[GenericRecord] = {
+    val in = fs(path, spark).open(path)
+    try {
+      val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try {
+        val buf = ArrayBuffer.empty[GenericRecord]
+        while (stream.hasNext) buf += stream.next()
+        buf.toSeq
+      } finally stream.close()
+    } finally { try in.close() catch { case _: Throwable => () } }
+  }
+
+  private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
+                        meta: Seq[(String, String)], recs: Seq[GenericRecord]): Long = {
+    val f = fs(path, spark)
+    val out = f.create(path, true)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, out)
+    try recs.foreach(w.append) finally w.close() // closes `out`
+    f.getFileStatus(path).getLen
+  }
+
+  private def readText(spark: SparkSession, p: Path): String = {
+    val in = fs(p, spark).open(p)
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+  private def writeText(spark: SparkSession, p: Path, s: String): Unit = {
+    val out = fs(p, spark).create(p, true)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
+  }
+
+  // ------------------------------------------------------------------
+  // metadata resolution
+  // ------------------------------------------------------------------
+
+  private def metadataDir(tableDir: String) = new Path(tableDir, "metadata")
+
+  /** Current vN.metadata.json (version-hint.text, with a directory-listing
+    * fallback like Iceberg's own HadoopTableOperations). None if the table
+    * does not exist yet. */
+  private def currentMetadata(spark: SparkSession, tableDir: String): Option[(Int, ObjectNode)] = {
+    val md = metadataDir(tableDir)
+    val f = fs(md, spark)
+    if (!f.exists(md)) return None
+    val hint = new Path(md, "version-hint.text")
+    val v =
+      if (f.exists(hint)) readText(spark, hint).trim.toInt
+      else {
+        val vs = f.listStatus(md).map(_.getPath.getName)
+          .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+            n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+        if (vs.isEmpty) return None else vs.max
+      }
+    val node = mapper.readTree(readText(spark, new Path(md, s"v$v.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    Some((v, node))
+  }
+
+  /** All snapshots of the table: (snapshot-id, timestamp-ms), append order. */
+  def snapshots(spark: SparkSession, tableDir: String): Seq[(Long, Long)] =
+    currentMetadata(spark, tableDir).toSeq.flatMap { case (_, meta) =>
+      meta.get("snapshots").elements.asScala.toSeq.map(s =>
+        (s.get("snapshot-id").asLong, s.get("timestamp-ms").asLong))
+    }
+
+  // ------------------------------------------------------------------
+  // read path
+  // ------------------------------------------------------------------
+
+  /** Plan the data files of one snapshot (driver-side, like Iceberg's own
+    * planning): resolve the snapshot, walk its manifest list with
+    * manifest-level bound pruning, then its manifests with file-level
+    * partition-tuple pruning. `partitionFilter` is identity equality,
+    * col → value-as-string. */
+  def planFiles(spark: SparkSession, tableDir: String,
+                snapshotId: Option[Long] = None,
+                asOfMs: Option[Long] = None,
+                partitionFilter: Map[String, String] = Map.empty): Seq[DataFileInfo] = {
+    val (_, meta) = currentMetadata(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"IcebergLite: no table at $tableDir"))
+    val snaps = meta.get("snapshots").elements.asScala.toSeq
+    val chosen = (snapshotId, asOfMs) match {
+      case (Some(id), _) => snaps.find(_.get("snapshot-id").asLong == id).getOrElse(
+        throw new IllegalArgumentException(s"IcebergLite: snapshot $id not found"))
+      case (None, Some(ts)) =>
+        val ok = snaps.filter(_.get("timestamp-ms").asLong <= ts)
+        if (ok.isEmpty) throw new IllegalArgumentException(
+          s"IcebergLite: no snapshot at or before $ts")
+        ok.maxBy(_.get("timestamp-ms").asLong)
+      case (None, None) =>
+        val cur = meta.get("current-snapshot-id").asLong
+        snaps.find(_.get("snapshot-id").asLong == cur).getOrElse(
+          throw new IllegalStateException("current-snapshot-id missing from snapshots"))
+    }
+
+    // partition spec fields by spec-id: Seq of (name, sourceType) in order
+    val specs: Map[Int, Seq[(String, String)]] =
+      meta.get("partition-specs").elements.asScala.map { sp =>
+        val sid = sp.get("spec-id").asInt
+        val fields = sp.get("fields").elements.asScala.toSeq.map { f =>
+          require(f.get("transform").asText == "identity",
+            s"IcebergLite: only identity transforms supported, got ${f.get("transform")}")
+          val srcId = f.get("source-id").asInt
+          val srcType = meta.get("schemas").elements.asScala
+            .flatMap(_.get("fields").elements.asScala)
+            .find(_.get("id").asInt == srcId).map(_.get("type").asText)
+            .getOrElse("string")
+          (f.get("name").asText, srcType)
+        }
+        sid -> fields
+      }.toMap
+
+    val manifestList = new Path(chosen.get("manifest-list").asText)
+    val out = ArrayBuffer.empty[DataFileInfo]
+    readAvro(spark, manifestList).foreach { mf =>
+      val content = asLong(get(mf, "content"), 0L)
+      require(content == 0L,
+        "IcebergLite: delete manifests (content=1) are not supported — append-only ingest")
+      val specId = asLong(get(mf, "partition_spec_id"), 0L).toInt
+      val specFields = specs.getOrElse(specId, Seq.empty)
+
+      // manifest-level pruning on string identity bounds
+      val summaries = get(mf, "partitions") match {
+        case null => Seq.empty
+        case l: java.util.List[_] => l.asScala.toSeq.map(_.asInstanceOf[GenericRecord])
+        case l: java.lang.Iterable[_] => l.asScala.toSeq.map(_.asInstanceOf[GenericRecord])
+        case other => throw new IllegalStateException(s"bad partitions field: $other")
+      }
+      val prunedOut = specFields.zipWithIndex.exists { case ((name, srcType), i) =>
+        partitionFilter.get(name) match {
+          case Some(v) if srcType == "string" && i < summaries.length =>
+            val s = summaries(i)
+            def str(field: String): Option[String] = get(s, field) match {
+              case null => None
+              case b: ByteBuffer =>
+                val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+                Some(new String(arr, UTF_8))
+              case other => Some(other.toString)
+            }
+            (str("lower_bound"), str("upper_bound")) match {
+              case (Some(lo), Some(hi)) => v < lo || v > hi
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+      if (!prunedOut) {
+        val mPath = new Path(asString(get(mf, "manifest_path")))
+        readAvro(spark, mPath).foreach { e =>
+          val status = asLong(get(e, "status"), 1L)
+          if (status != 2L) { // 2 = DELETED
+            val df = get(e, "data_file").asInstanceOf[GenericRecord]
+            require(asLong(get(df, "content"), 0L) == 0L,
+              "IcebergLite: row-level delete files are not supported")
+            val fmt = asString(get(df, "file_format"))
+            require(fmt == null || fmt.equalsIgnoreCase("parquet"),
+              s"IcebergLite: unsupported file format $fmt")
+            val tuple = get(df, "partition") match {
+              case null => Map.empty[String, String]
+              case p: GenericRecord =>
+                p.getSchema.getFields.asScala.map(f =>
+                  f.name -> asString(p.get(f.name))).toMap
+            }
+            val keep = partitionFilter.forall { case (k, v) =>
+              tuple.get(k).forall(_ == v) // unknown col: cannot prune
+            }
+            if (keep) out += DataFileInfo(
+              asString(get(df, "file_path")), tuple,
+              asLong(get(df, "record_count")),
+              asLong(get(df, "file_size_in_bytes")))
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read a snapshot as a DataFrame: driver-side planning, distributed
+    * parquet scan with the METADATA schema (pushdown/pruning intact). */
+  def readTable(spark: SparkSession, tableDir: String,
+                snapshotId: Option[Long] = None,
+                asOfMs: Option[Long] = None,
+                partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+    val (_, meta) = currentMetadata(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"IcebergLite: no table at $tableDir"))
+    val schema = schemaFromMetadata(meta)
+    val files = planFiles(spark, tableDir, snapshotId, asOfMs, partitionFilter)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // write path (append-only fixture writer)
+  // ------------------------------------------------------------------
+
+  /** Append `df` as one new snapshot; returns the new snapshot id.
+    * Identity-partitioned by `partitionCols` (small-cardinality contract —
+    * see object doc). `nowMs` is injectable so tests produce stable
+    * metadata. */
+  def append(df: DataFrame, tableDir: String,
+             partitionCols: Seq[String] = Seq.empty,
+             nowMs: Long = System.currentTimeMillis()): Long = {
+    val spark = df.sparkSession
+    val md = metadataDir(tableDir)
+    val f = fs(md, spark)
+    val prior = currentMetadata(spark, tableDir)
+    prior.foreach { case (_, m) =>
+      val existing = schemaFromMetadata(m).fieldNames.toSeq
+      require(existing == df.schema.fieldNames.toSeq,
+        s"IcebergLite: append schema ${df.schema.fieldNames.toSeq} != table schema $existing")
+      val priorSpec = m.get("partition-specs").elements.asScala
+        .find(_.get("spec-id").asInt == m.get("default-spec-id").asInt)
+        .map(_.get("fields").elements.asScala.map(_.get("name").asText).toSeq)
+        .getOrElse(Seq.empty)
+      require(priorSpec == partitionCols,
+        s"IcebergLite: append partitioning $partitionCols != table spec $priorSpec (spec evolution unsupported)")
+    }
+    val version = prior.map(_._1).getOrElse(0) + 1
+    val snapshotId = prior.map(_._2.get("current-snapshot-id").asLong).getOrElse(0L) + 1
+    val seqNum = prior.map(_._2.get("last-sequence-number").asLong).getOrElse(0L) + 1
+
+    val pCols: Seq[(String, DataType)] =
+      partitionCols.map(c => c -> df.schema(c).dataType)
+
+    // ---- data files: one parquet write per distinct partition tuple
+    // (identity partitioning; files contain FULL rows, as Iceberg's do)
+    val dataDir = new Path(tableDir, s"data/snap-$snapshotId")
+    val tuples: Seq[Seq[String]] =
+      if (pCols.isEmpty) Seq(Seq.empty)
+      else df.select(partitionCols.map(col): _*).distinct()
+        .collect().map(r => partitionCols.indices.map(i => r.get(i).toString)).toSeq
+        .sortBy(_.mkString(" "))
+    val entrySchema = manifestEntrySchema(pCols)
+    val dfSchema = entrySchema.getField("data_file").schema
+    val partSchema = dfSchema.getField("partition").schema
+
+    val entries = ArrayBuffer.empty[GenericRecord]
+    tuples.foreach { tup =>
+      val subdir =
+        if (tup.isEmpty) dataDir
+        else new Path(dataDir, partitionCols.zip(tup).map { case (c, v) => s"$c=$v" }.mkString("/"))
+      val subset = partitionCols.zip(tup).foldLeft(df) { case (d, (c, v)) =>
+        d.filter(col(c).cast("string") === v)
+      }
+      subset.write.mode("overwrite").parquet(subdir.toString)
+      val parts = f.globStatus(new Path(subdir, "part-*.parquet")).toSeq
+      parts.foreach { st =>
+        val rows = parquetRowCount(spark, st.getPath)
+        val pRec = new GenericData.Record(partSchema)
+        partitionCols.zip(tup).foreach { case (c, v) =>
+          val typed: Any = pCols.find(_._1 == c).get._2 match {
+            case LongType => java.lang.Long.valueOf(v)
+            case IntegerType => java.lang.Integer.valueOf(v)
+            case _ => v
+          }
+          pRec.put(c, typed)
+        }
+        val dRec = new GenericData.Record(dfSchema)
+        dRec.put("content", 0)
+        dRec.put("file_path", st.getPath.toUri.toString)
+        dRec.put("file_format", "PARQUET")
+        dRec.put("partition", pRec)
+        dRec.put("record_count", rows)
+        dRec.put("file_size_in_bytes", st.getLen)
+        val eRec = new GenericData.Record(entrySchema)
+        eRec.put("status", 1) // ADDED
+        eRec.put("snapshot_id", snapshotId)
+        eRec.put("sequence_number", seqNum)
+        eRec.put("file_sequence_number", seqNum)
+        eRec.put("data_file", dRec)
+        entries += eRec
+      }
+    }
+
+    // ---- schema / spec JSON (shared by metadata.json and manifest meta)
+    var lastColId = 0
+    val nextId = () => { lastColId += 1; lastColId }
+    val schemaNode = {
+      val n = mapper.createObjectNode()
+      n.put("type", "struct"); n.put("schema-id", 0)
+      val arr = n.putArray("fields")
+      df.schema.fields.foreach { sf =>
+        val fn = arr.addObject()
+        fn.put("id", nextId())
+        fn.put("name", sf.name)
+        fn.put("required", false)
+        icebergType(sf.dataType, nextId) match {
+          case s: String => fn.put("type", s)
+          case o: ObjectNode => fn.set("type", o)
+        }
+      }
+      n
+    }
+    val fieldIdOf: Map[String, Int] =
+      schemaNode.get("fields").elements.asScala.map(f =>
+        f.get("name").asText -> f.get("id").asInt).toMap
+    val specNode = {
+      val n = mapper.createObjectNode()
+      n.put("spec-id", 0)
+      val arr = n.putArray("fields")
+      partitionCols.zipWithIndex.foreach { case (c, i) =>
+        val fn = arr.addObject()
+        fn.put("name", c); fn.put("transform", "identity")
+        fn.put("source-id", fieldIdOf(c)); fn.put("field-id", 1000 + i)
+      }
+      n
+    }
+
+    // ---- manifest file
+    val manifestPath = new Path(md, f"manifest-$snapshotId%05d.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema,
+      Seq("schema" -> mapper.writeValueAsString(schemaNode),
+        "partition-spec" -> mapper.writeValueAsString(specNode.get("fields")),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "data"),
+      entries.toSeq)
+
+    // ---- manifest-list: prior manifests carried over + the new one
+    val addedRows = entries.map(e =>
+      asLong(get(e.get("data_file").asInstanceOf[GenericRecord], "record_count"))).sum
+    val newMf = new GenericData.Record(manifestListSchema)
+    newMf.put("manifest_path", manifestPath.toUri.toString)
+    newMf.put("manifest_length", manifestLen)
+    newMf.put("partition_spec_id", 0)
+    newMf.put("content", 0)
+    newMf.put("sequence_number", seqNum)
+    newMf.put("min_sequence_number", seqNum)
+    newMf.put("added_snapshot_id", snapshotId)
+    newMf.put("added_files_count", entries.length)
+    newMf.put("existing_files_count", 0)
+    newMf.put("deleted_files_count", 0)
+    newMf.put("added_rows_count", addedRows)
+    newMf.put("existing_rows_count", 0L)
+    newMf.put("deleted_rows_count", 0L)
+    // per-spec-field summaries over this manifest's partition tuples
+    if (pCols.nonEmpty) {
+      val sumSchema = manifestListSchema.getField("partitions").schema
+        .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+      val itemSchema = sumSchema.getElementType
+      val sums = pCols.indices.map { i =>
+        val vals = tuples.map(_(i))
+        val r = new GenericData.Record(itemSchema)
+        r.put("contains_null", false)
+        r.put("lower_bound", ByteBuffer.wrap(vals.min.getBytes(UTF_8)))
+        r.put("upper_bound", ByteBuffer.wrap(vals.max.getBytes(UTF_8)))
+        r
+      }
+      newMf.put("partitions", new GenericData.Array(sumSchema, sums.asJava))
+    }
+    val priorMfs: Seq[GenericRecord] = prior.toSeq.flatMap { case (_, m) =>
+      val cur = m.get("current-snapshot-id").asLong
+      m.get("snapshots").elements.asScala
+        .find(_.get("snapshot-id").asLong == cur)
+        .map(s => readAvro(spark, new Path(s.get("manifest-list").asText))
+          .map(copyManifestFile))
+        .getOrElse(Seq.empty)
+    }
+    val listPath = new Path(md, f"snap-$snapshotId%05d.avro")
+    writeAvro(spark, listPath, manifestListSchema,
+      Seq("format-version" -> "2"), priorMfs :+ newMf)
+
+    // ---- vN.metadata.json
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", prior.map(_._2.get("table-uuid").asText)
+      .getOrElse(deterministicUuid(tableDir)))
+    root.put("location", tableDir)
+    root.put("last-sequence-number", seqNum)
+    root.put("last-updated-ms", nowMs)
+    root.put("last-column-id", lastColId)
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaNode)
+    root.put("default-spec-id", 0)
+    root.putArray("partition-specs").add(specNode)
+    root.put("last-partition-id", 1000 + math.max(partitionCols.length - 1, 0))
+    root.put("default-sort-order-id", 0)
+    val so = root.putArray("sort-orders").addObject()
+    so.put("order-id", 0); so.putArray("fields")
+    root.putObject("properties").put("write.format.default", "parquet")
+    root.put("current-snapshot-id", snapshotId)
+    val snapsArr = root.putArray("snapshots")
+    prior.foreach(_._2.get("snapshots").elements.asScala.foreach(snapsArr.add))
+    val sn = snapsArr.addObject()
+    sn.put("sequence-number", seqNum)
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", nowMs)
+    val summ = sn.putObject("summary")
+    summ.put("operation", "append")
+    summ.put("added-data-files", entries.length.toString)
+    summ.put("added-records", addedRows.toString)
+    sn.put("manifest-list", listPath.toUri.toString)
+    sn.put("schema-id", 0)
+    val slog = root.putArray("snapshot-log")
+    prior.foreach(_._2.get("snapshot-log").elements.asScala.foreach(slog.add))
+    val sl = slog.addObject()
+    sl.put("timestamp-ms", nowMs); sl.put("snapshot-id", snapshotId)
+
+    writeText(spark, new Path(md, s"v$version.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(spark, new Path(md, "version-hint.text"), version.toString)
+    snapshotId
+  }
+
+  /** Rebuild a prior manifest_file entry into OUR schema field-by-field
+    * (tolerates v1 names on tables a real writer produced). */
+  private def copyManifestFile(r: GenericRecord): GenericRecord = {
+    val out = new GenericData.Record(manifestListSchema)
+    out.put("manifest_path", asString(get(r, "manifest_path")))
+    out.put("manifest_length", asLong(get(r, "manifest_length")))
+    out.put("partition_spec_id", asLong(get(r, "partition_spec_id")).toInt)
+    out.put("content", asLong(get(r, "content")).toInt)
+    out.put("sequence_number", asLong(get(r, "sequence_number")))
+    out.put("min_sequence_number", asLong(get(r, "min_sequence_number")))
+    out.put("added_snapshot_id", asLong(get(r, "added_snapshot_id")))
+    out.put("added_files_count", asLong(get(r, "added_files_count", "added_data_files_count")).toInt)
+    out.put("existing_files_count", asLong(get(r, "existing_files_count", "existing_data_files_count")).toInt)
+    out.put("deleted_files_count", asLong(get(r, "deleted_files_count", "deleted_data_files_count")).toInt)
+    out.put("added_rows_count", asLong(get(r, "added_rows_count")))
+    out.put("existing_rows_count", asLong(get(r, "existing_rows_count")))
+    out.put("deleted_rows_count", asLong(get(r, "deleted_rows_count")))
+    get(r, "partitions") match {
+      case null => ()
+      case l: java.lang.Iterable[_] =>
+        val arrSchema = manifestListSchema.getField("partitions").schema
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        val itemSchema = arrSchema.getElementType
+        val items = l.asScala.toSeq.map { s0 =>
+          val s = s0.asInstanceOf[GenericRecord]
+          val n = new GenericData.Record(itemSchema)
+          n.put("contains_null", get(s, "contains_null") match {
+            case null => false; case b: java.lang.Boolean => b.booleanValue; case _ => false })
+          get(s, "contains_nan") match { case null => (); case b => n.put("contains_nan", b) }
+          get(s, "lower_bound") match { case null => (); case b => n.put("lower_bound", b) }
+          get(s, "upper_bound") match { case null => (); case b => n.put("upper_bound", b) }
+          n
+        }
+        out.put("partitions", new GenericData.Array(arrSchema, items.asJava))
+      case _ => ()
+    }
+    out
+  }
+
+  /** Row count from the parquet FOOTER (no scan). */
+  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Stable table-uuid (tests rebuild fixtures; metadata stays comparable). */
+  private def deterministicUuid(tableDir: String): String =
+    java.util.UUID.nameUUIDFromBytes(tableDir.getBytes(UTF_8)).toString
+}

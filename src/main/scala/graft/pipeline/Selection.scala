@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Ckpt
+
+/** Data SELECTION for training-corpus curation — the two standard
+  * distribution-level filters that sit beside dedup/quality in large LLM
+  * pipelines:
+  *
+  *   - `lmBits`: bigram language-model negative log-likelihood (bits per
+  *     bigram) — the CCNet-style "perplexity" quality signal (Wenzek et al.
+  *     2020 use a KenLM 5-gram; the bigram form is the same estimator shape
+  *     with the same Spark plan: count → join → per-doc average).
+  *   - `dsirWeights`: hashed-ngram importance weights log(p_target/p_raw)
+  *     (Xie et al. 2023, "Data Selection for Language Models via Importance
+  *     Resampling") against a caller-supplied target corpus.
+  *
+  * Both run on the shared `occRows` projection: one posexplode over the
+  * corpus, per-token 31-bit polynomial hashes computed ONCE per token (flat
+  * codegen — Dedup.tokenHash/tokenHash2), a window `lead` for the bigram
+  * partner, 62-bit ids thereafter — every downstream shuffle moves 8-byte
+  * longs, never token strings (the Dedup round-3 lesson). Counts aggregate
+  * with map-side combine; nothing unbounded is broadcast: the LM model
+  * tables join SHUFFLED (a 100-TB corpus has a vocabulary-sized model),
+  * while DSIR's λ table is B rows by construction (B a caller parameter)
+  * and rides a broadcast join after a bounded driver-side collect — the
+  * "collect a bounded aggregate" pattern, not a corpus collect. */
+object Selection {
+
+  private val P  = 2147483647L // 2^31 - 1 (leading-window hash modulus)
+  private val P2 = 2147483629L // trailing-window hash modulus
+  private val K  = Dedup.shingleK
+
+  /** One row per token OCCURRENCE: (doc_id, uid, bid) where `uid` is the
+    * 62-bit token id (leading ⊕ trailing window hash, exactly
+    * `Dedup.shingleId`) and `bid` the 62-bit id of the bigram starting
+    * here (null on each doc's last token). Same plan shape as
+    * `Dedup.shingleIdRows`: hashes beside the generator in their own
+    * codegen projection, then a per-doc window lead. */
+  private def occRows(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), " +")).as(Seq("pos", "tok")))
+    val hashed = toks.select(col("doc_id"), col("pos"),
+      Dedup.tokenHash(col("tok")).as("h1"), Dedup.tokenHash2(col("tok")).as("h2"))
+    val wnd = Window.partitionBy("doc_id").orderBy("pos")
+    hashed
+      .select(col("doc_id"), col("h1"), col("h2"),
+        lead("h1", 1).over(wnd).as("n1"), lead("h2", 1).over(wnd).as("n2"))
+      .select(col("doc_id"),
+        (col("h1") * 2147483648L + col("h2")).as("uid"),
+        when(col("n1").isNotNull,
+          ((col("h1") * K + col("n1")) % P) * 2147483648L +
+            (col("h2") * K + col("n2")) % P2).as("bid"))
+  }
+
+  /** Bigram-LM quality score: for each document, the average
+    * -log2 P(w2|w1) over its bigrams under an add-k model estimated on the
+    * WHOLE corpus — P(w2|w1) = (C(w1,w2)+k) / (C(w1)+k·V), V = vocabulary
+    * size. Low bits = predictable, in-distribution text; high bits = noise
+    * (the CCNet split). Output (doc_id, n_bigrams, lm_bits), one row per
+    * input document (lm_bits null iff the doc has no bigram).
+    *
+    * The model (unigram+bigram counts) is materialized once
+    * (vocabulary-sized state — it IS the LM; session-lifetime like every
+    * Ckpt rewrap) and both count joins run SHUFFLED on 62-bit ids: the
+    * vocabulary of a web corpus is unbounded, so neither side is
+    * broadcast-safe. */
+  def lmBits(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val occ = occRows(docs)
+    val counts = Ckpt.materialize(
+      occ.select(lit("u").as("kind"), col("uid").as("id"))
+        .unionByName(occ.filter(col("bid").isNotNull)
+          .select(lit("b").as("kind"), col("bid").as("id")))
+        .groupBy("kind", "id").count()).df
+    val vocab = counts.filter(col("kind") === "u").count()
+    val cu = counts.filter(col("kind") === "u")
+      .select(col("id").as("uid"), col("count").as("cu"))
+    val cb = counts.filter(col("kind") === "b")
+      .select(col("id").as("bid"), col("count").as("cb"))
+    val bits = occ.filter(col("bid").isNotNull)
+      .join(cu, "uid").join(cb, "bid")
+      .select(col("doc_id"),
+        ((log(col("cu") + k * vocab) - log(col("cb") + lit(k))) / math.log(2.0))
+          .as("bits"))
+    val perDoc = bits.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"), round(avg(col("bits")), 6).as("lm_bits"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_bits"))
+  }
+
+  /** DSIR importance log-weights: features are the unigram+bigram 62-bit
+    * ids of `occRows` hashed into `buckets` buckets (default a PRIME — a
+    * power of two would see only the trailing-window hash bits); per bucket
+    * λ(b) = ln p̂_target(b) − ln p̂_raw(b) with add-k smoothing over the
+    * full bucket domain, and a document's weight is Σ λ(bucket) over its
+    * feature OCCURRENCES. Resample ∝ exp(weight) to tilt the raw corpus
+    * toward the target distribution (Xie et al. 2023).
+    *
+    * Scale shape: two corpus scans (bucket counts, then the weight pass) +
+    * one target scan; the λ table is exactly `buckets` rows — collected to
+    * the driver (bounded by the PARAMETER, not the data) and broadcast back
+    * into the weight join. Output (doc_id, n_feats, dsir_logw), one row per
+    * raw-corpus document. */
+  def dsirWeights(docs: DataFrame, target: DataFrame,
+                  buckets: Int = 4093, k: Double = 0.5): DataFrame = {
+    require(buckets >= 2, "dsirWeights needs >= 2 buckets")
+    val spark = docs.sparkSession
+    def feats(d: DataFrame): DataFrame = {
+      val occ = occRows(d)
+      occ.select(col("doc_id"), pmod(col("uid"), lit(buckets.toLong)).as("bucket"))
+        .unionByName(occ.filter(col("bid").isNotNull)
+          .select(col("doc_id"), pmod(col("bid"), lit(buckets.toLong)).as("bucket")))
+    }
+    def bucketCounts(d: DataFrame): Map[Long, Long] =
+      feats(d).groupBy("bucket").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cr = bucketCounts(docs)
+    val ct = bucketCounts(target)
+    val nr = cr.values.sum.toDouble
+    val nt = ct.values.sum.toDouble
+    val lam: Seq[(Long, Double)] = (0L until buckets.toLong).map { b =>
+      b -> (math.log((ct.getOrElse(b, 0L) + k) / (nt + k * buckets)) -
+        math.log((cr.getOrElse(b, 0L) + k) / (nr + k * buckets)))
+    }
+    import spark.implicits._
+    val lamDf = lam.toDF("bucket", "lam")
+    val perDoc = feats(docs).join(broadcast(lamDf), "bucket")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_feats"), round(sum(col("lam")), 6).as("dsir_logw"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("dsir_logw"))
+  }
+}
