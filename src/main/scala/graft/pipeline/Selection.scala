@@ -70,10 +70,18 @@ object Selection {
     * broadcast-safe. */
   def lmBits(docs: DataFrame, k: Double = 0.5): DataFrame = {
     val occ = occRows(docs)
+    // ONE corpus pass estimates both count families: each occurrence row
+    // explodes to its (u, uid) row plus — when a bigram starts here — its
+    // (b, bid) row. A unionByName of two occ selects would scan (and
+    // window-sort) the corpus twice for the same aggregation.
     val counts = Ckpt.materialize(
-      occ.select(lit("u").as("kind"), col("uid").as("id"))
-        .unionByName(occ.filter(col("bid").isNotNull)
-          .select(lit("b").as("kind"), col("bid").as("id")))
+      occ.select(col("doc_id"), explode(
+          when(col("bid").isNotNull,
+            array(struct(lit("u").as("kind"), col("uid").as("id")),
+              struct(lit("b").as("kind"), col("bid").as("id"))))
+            .otherwise(array(struct(lit("u").as("kind"), col("uid").as("id")))))
+          .as("f"))
+        .select(col("f.kind").as("kind"), col("f.id").as("id"))
         .groupBy("kind", "id").count()).df
     val vocab = counts.filter(col("kind") === "u").count()
     val cu = counts.filter(col("kind") === "u")
@@ -109,11 +117,14 @@ object Selection {
                   buckets: Int = 4093, k: Double = 0.5): DataFrame = {
     require(buckets >= 2, "dsirWeights needs >= 2 buckets")
     val spark = docs.sparkSession
+    // one scan per use (explode both feature kinds from each occurrence
+    // row), same single-pass shape as lmBits' count estimation
     def feats(d: DataFrame): DataFrame = {
-      val occ = occRows(d)
-      occ.select(col("doc_id"), pmod(col("uid"), lit(buckets.toLong)).as("bucket"))
-        .unionByName(occ.filter(col("bid").isNotNull)
-          .select(col("doc_id"), pmod(col("bid"), lit(buckets.toLong)).as("bucket")))
+      val b = lit(buckets.toLong)
+      occRows(d).select(col("doc_id"), explode(
+        when(col("bid").isNotNull,
+          array(pmod(col("uid"), b), pmod(col("bid"), b)))
+          .otherwise(array(pmod(col("uid"), b)))).as("bucket"))
     }
     def bucketCounts(d: DataFrame): Map[Long, Long] =
       feats(d).groupBy("bucket").count()

@@ -94,6 +94,23 @@ class IcebergSpec extends AnyFunSuite with SparkTest {
       Seq("url", "warc_ts", "html", "text", "lang"))
   }
 
+  test("north-rule chain through the table format: pages → Iceberg → edges → PageRank equals the direct path bit-for-bit") {
+    val dir = tmpTable()
+    val pages = Pages.synthesize(spark, 400, nSites = 20)
+    IcebergLite.append(pages, dir, partitionCols = Seq("lang"), nowMs = 1000L)
+    val fromTable = IcebergLite.readTable(spark, dir)
+    def ranked(src: org.apache.spark.sql.DataFrame) = {
+      val ids = Pages.idMap(src)
+      val adj = graft.graph.Adjacency.build(Pages.edges(src, ids), 400, 4)
+      graft.algos.PageRank.run(spark, adj, damping = 0.85, tol = 0.0, maxIter = 5)
+        .scores.select(col("id"), col("v"))
+    }
+    val a = ranked(pages)
+    val b = ranked(fromTable)
+    // bit-for-bit: the table format must not perturb one byte of the chain
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("append-only guard: schema drift is rejected") {
     val dir = tmpTable()
     val pages = Pages.synthesize(spark, 50, nSites = 5)
