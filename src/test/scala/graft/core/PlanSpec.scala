@@ -140,4 +140,31 @@ class PlanSpec extends AnyFunSuite with SparkTest {
         case j: Join if j.joinType == LeftSemi => j }
     assert(semi.nonEmpty, "left-semi join missing")
   }
+
+  test("lmBits: the LM count joins carry NO broadcast hint (vocabulary is unbounded); " +
+    "dsirWeights: the λ join DOES broadcast (bounded by the bucket parameter)") {
+    val docs = Seq((0L, "a b c d"), (1L, "x y z w")).toDF("doc_id", "text")
+    val lm = graft.pipeline.Selection.lmBits(docs)
+      .queryExecution.analyzed.toString
+    assert(!lm.contains("broadcast"),
+      s"a web corpus' vocabulary must never be broadcast:\n$lm")
+    val ds = graft.pipeline.Selection
+      .dsirWeights(docs, docs.filter(col("doc_id") === 0L), buckets = 64)
+      .queryExecution.analyzed.toString
+    assert(ds.contains("broadcast"), ds)
+  }
+
+  test("IcebergLite read is a real parquet scan: filter pushdown and column pruning reach the files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-iceberg").toString
+    val docs = (0L until 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    graft.ingest.IcebergLite.append(docs, dir, nowMs = 1000L)
+    val df = graft.ingest.IcebergLite.readTable(spark, dir)
+      .filter(col("doc_id") > 40L).select("doc_id")
+    df.count() // force through AQE so the executed scan is final
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(doc_id,40)"),
+      scan)
+    assert(scan.contains("ReadSchema") && !scan.contains("text"),
+      s"projection must prune the text column from the scan:\n$scan")
+  }
 }
