@@ -29,6 +29,17 @@ object SparkEntry {
   private def parts(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Deterministic per-(sfDir, tag) fixture dir for the IcebergLite queries,
+    * WIPED and rebuilt each call — createTempDirectory would leak a full
+    * table copy per bench/verify invocation (ADVICE-class temp-dir leak). */
+  private def icebergFixtureDir(s: SparkSession, sfDir: String, tag: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-iceberg-$tag-" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    dir
+  }
+
   // ---- shared derived graph tables (same definitions in SQL below) ----
 
   /** Graph-fixture vertex modulus, derived from the scale factor PARSED from
@@ -1011,7 +1022,7 @@ object SparkEntry {
       // CURRENT snapshot read walks version-hint → metadata.json →
       // manifest-list Avro → manifest Avro → parquet and must hash-match
       // the raw table via the oracle
-      val dir = java.nio.file.Files.createTempDirectory("graft-iceberg").toString
+      val dir = icebergFixtureDir(s, d, "roundtrip")
       val docs = t(s, d, "documents")
       graft.ingest.IcebergLite.append(docs.filter(col("doc_id") % 2 === 0),
         dir, partitionCols = Seq("lang"), nowMs = 1000L)
@@ -1025,7 +1036,7 @@ object SparkEntry {
       // partition-pruned snapshot read: only lang=en files are planned
       // (manifest bounds + file tuples); correctness of the pruning is the
       // oracle's WHERE clause
-      val dir = java.nio.file.Files.createTempDirectory("graft-iceberg").toString
+      val dir = icebergFixtureDir(s, d, "prune")
       graft.ingest.IcebergLite.append(t(s, d, "documents"), dir,
         partitionCols = Seq("lang"), nowMs = 1000L)
       graft.ingest.IcebergLite.readTable(s, dir,

@@ -82,10 +82,13 @@ object IcebergLite {
     case TimestampType => "timestamptz"
     case DateType      => "date"
     case ArrayType(elem, _) =>
+      val inner = icebergType(elem, nextId)
+      require(inner.isInstanceOf[String],
+        s"IcebergLite: nested list element type $elem unsupported")
       val n = mapper.createObjectNode()
       n.put("type", "list")
       n.put("element-id", nextId())
-      n.put("element", icebergType(elem, nextId).toString)
+      n.put("element", inner.asInstanceOf[String])
       n.put("element-required", false)
       n
     case other => throw new IllegalArgumentException(
@@ -334,6 +337,14 @@ object IcebergLite {
         sid -> fields
       }.toMap
 
+    // a filter key that is NOT a partition-spec field would be silently
+    // vacuous (no manifest bounds, no file tuple) and return the FULL
+    // table — reject it instead of betraying the caller's intent
+    val knownPartitionCols = specs.values.flatten.map(_._1).toSet
+    partitionFilter.keys.foreach(k => require(knownPartitionCols.contains(k),
+      s"IcebergLite: '$k' is not a partition column of this table " +
+        s"(spec fields: ${knownPartitionCols.toSeq.sorted.mkString(", ")})"))
+
     val manifestList = new Path(chosen.get("manifest-list").asText)
     val out = ArrayBuffer.empty[DataFileInfo]
     readAvro(spark, manifestList).foreach { mf =>
@@ -430,9 +441,12 @@ object IcebergLite {
     val f = fs(md, spark)
     val prior = currentMetadata(spark, tableDir)
     prior.foreach { case (_, m) =>
-      val existing = schemaFromMetadata(m).fieldNames.toSeq
-      require(existing == df.schema.fieldNames.toSeq,
-        s"IcebergLite: append schema ${df.schema.fieldNames.toSeq} != table schema $existing")
+      // names AND types: a name-only check would let an int32 append land
+      // under metadata declaring long, corrupting reads far from the write
+      val existing = schemaFromMetadata(m).fields.map(f => (f.name, f.dataType)).toSeq
+      val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(existing == incoming,
+        s"IcebergLite: append schema $incoming != table schema $existing")
       val priorSpec = m.get("partition-specs").elements.asScala
         .find(_.get("spec-id").asInt == m.get("default-spec-id").asInt)
         .map(_.get("fields").elements.asScala.map(_.get("name").asText).toSeq)
@@ -453,17 +467,29 @@ object IcebergLite {
     val tuples: Seq[Seq[String]] =
       if (pCols.isEmpty) Seq(Seq.empty)
       else df.select(partitionCols.map(col): _*).distinct()
-        .collect().map(r => partitionCols.indices.map(i => r.get(i).toString)).toSeq
-        .sortBy(_.mkString(" "))
+        .collect().map { r =>
+          partitionCols.indices.map { i =>
+            require(!r.isNullAt(i), s"IcebergLite: null value in partition " +
+              s"column ${partitionCols(i)} (null partition tuples unsupported)")
+            r.get(i).toString
+          }
+        }.toSeq
+        .sortBy(_.mkString(" "))
     val entrySchema = manifestEntrySchema(pCols)
     val dfSchema = entrySchema.getField("data_file").schema
     val partSchema = dfSchema.getField("partition").schema
 
     val entries = ArrayBuffer.empty[GenericRecord]
     tuples.foreach { tup =>
+      // percent-encode the path SEGMENT only (like Iceberg's own layout);
+      // the manifest partition tuple keeps the raw value — readers plan
+      // from manifests, never by parsing paths
+      def enc(s: String): String =
+        java.net.URLEncoder.encode(s, UTF_8).replace("+", "%20")
       val subdir =
         if (tup.isEmpty) dataDir
-        else new Path(dataDir, partitionCols.zip(tup).map { case (c, v) => s"$c=$v" }.mkString("/"))
+        else new Path(dataDir, partitionCols.zip(tup)
+          .map { case (c, v) => s"${enc(c)}=${enc(v)}" }.mkString("/"))
       val subset = partitionCols.zip(tup).foldLeft(df) { case (d, (c, v)) =>
         d.filter(col(c).cast("string") === v)
       }
@@ -559,7 +585,9 @@ object IcebergLite {
     newMf.put("existing_rows_count", 0L)
     newMf.put("deleted_rows_count", 0L)
     // per-spec-field summaries over this manifest's partition tuples
-    if (pCols.nonEmpty) {
+    // (skipped when the appended snapshot is EMPTY — no tuples to bound;
+    // an absent summary means "no pruning possible", which is correct)
+    if (pCols.nonEmpty && tuples.nonEmpty) {
       val sumSchema = manifestListSchema.getField("partitions").schema
         .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
       val itemSchema = sumSchema.getElementType

@@ -111,14 +111,41 @@ class IcebergSpec extends AnyFunSuite with SparkTest {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
-  test("append-only guard: schema drift is rejected") {
+  test("append-only guard: schema drift is rejected — names AND types") {
     val dir = tmpTable()
     val pages = Pages.synthesize(spark, 50, nSites = 5)
     IcebergLite.append(pages, dir, nowMs = 1000L)
-    val bad = pages.withColumnRenamed("lang", "language")
-    val e = intercept[IllegalArgumentException] {
-      IcebergLite.append(bad, dir, nowMs = 2000L)
-    }
-    assert(e.getMessage.contains("schema"))
+    val renamed = pages.withColumnRenamed("lang", "language")
+    assert(intercept[IllegalArgumentException] {
+      IcebergLite.append(renamed, dir, nowMs = 2000L)
+    }.getMessage.contains("schema"))
+    // same names, drifted type: an int32 append under long metadata would
+    // corrupt reads far from the write — must be rejected at append time
+    val retyped = pages.withColumn("text", length(col("text")))
+      .withColumnRenamed("text", "tmp").withColumnRenamed("tmp", "text")
+      .select("url", "warc_ts", "html", "text", "lang")
+    assert(intercept[IllegalArgumentException] {
+      IcebergLite.append(retyped, dir, nowMs = 2000L)
+    }.getMessage.contains("schema"))
+  }
+
+  test("guards: empty partitioned append, unknown filter key, null partition value") {
+    val dir = tmpTable()
+    val pages = Pages.synthesize(spark, 40, nSites = 5)
+    // empty PARTITIONED snapshot: no tuples to summarize — must still commit
+    IcebergLite.append(pages.filter(lit(false)), dir,
+      partitionCols = Seq("lang"), nowMs = 1000L)
+    IcebergLite.append(pages, dir, partitionCols = Seq("lang"), nowMs = 2000L)
+    assert(IcebergLite.readTable(spark, dir).count() == 40)
+    // a filter on a non-partition column would be silently vacuous — reject
+    assert(intercept[IllegalArgumentException] {
+      IcebergLite.planFiles(spark, dir, partitionFilter = Map("Lang" -> "en"))
+    }.getMessage.contains("not a partition column"))
+    // null partition values are an explicit unsupported contract
+    val withNull = pages.withColumn("lang",
+      when(col("url").endsWith("1"), lit(null: String)).otherwise(col("lang")))
+    assert(intercept[IllegalArgumentException] {
+      IcebergLite.append(withNull, tmpTable(), partitionCols = Seq("lang"), nowMs = 1000L)
+    }.getMessage.contains("null value in partition"))
   }
 }
