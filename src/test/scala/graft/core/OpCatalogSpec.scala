@@ -370,4 +370,56 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
     assert(unify(FP32, FP64) === FP64)
     assert(all.size === 11)
   }
+
+  test("numpy namespace: distinct kernels match the JVM/numpy semantics exactly") {
+    def u(name: String, x: Double): Any = evalC(NumpyOps.unary(name)(lit(x)))
+    def b(name: String, x: Any, y: Any): Any =
+      evalC(NumpyOps.binary(name)(lit(x), lit(y)))
+    val nan = Double.NaN
+    // spacing: signed ulp, ±0 keeps sign, NaN propagates
+    assert(u("spacing", 1.0) === math.ulp(1.0))
+    assert(u("spacing", -1.0) === -math.ulp(1.0))
+    assert(u("spacing", 0.0) === java.lang.Double.MIN_VALUE)
+    assert(d(u("spacing", nan)).isNaN)
+    // rint: half to EVEN (round would give 3.0 / -3.0)
+    assert(u("rint", 2.5) === 2.0 && u("rint", 3.5) === 4.0)
+    assert(u("rint", -2.5) === -2.0)
+    // signbit sees -0.0; sign value does not
+    assert(u("signbit", -0.0) === true && u("signbit", 0.0) === false)
+    assert(u("signbit", -3.0) === true && u("signbit", nan) === false)
+    assert(u("deg2rad", 180.0) === math.Pi && u("rad2deg", math.Pi) === 180.0)
+    assert(u("square", 3.0) === 9.0)
+    // nextafter steps exactly one representable value, boundary included
+    assert(b("nextafter", 1.0, 2.0) === math.nextAfter(1.0, 2.0))
+    assert(b("nextafter", 2.0, 0.0) === math.nextAfter(2.0, 0.0)) // half-ulp step down
+    assert(b("nextafter", 1.0, 1.0) === 1.0)
+    // fmax/fmin ignore NaN (max/min propagate it)
+    assert(b("fmax", 1.0, nan) === 1.0 && b("fmin", nan, 2.0) === 2.0)
+    assert(d(b("fmax", nan, nan)).isNaN)
+    assert(b("fmax", 1.0, 2.0) === 2.0 && b("fmin", 1.0, 2.0) === 1.0)
+    // gcd/lcm: non-negative, zero rules, sign-insensitive
+    assert(b("gcd", 12L, -18L) === 6L && b("gcd", 0L, 0L) === 0L)
+    assert(b("gcd", 0L, 7L) === 7L)
+    assert(b("lcm", 4L, -6L) === 12L && b("lcm", 0L, 5L) === 0L)
+    // logaddexp: stable at extreme magnitude and exact on the equal branch
+    assert(math.abs(d(b("logaddexp", 1e300, 1e300)) - (1e300 + math.log(2))) < 1e285)
+    assert(math.abs(d(b("logaddexp", 0.0, 0.0)) - math.log(2)) < 1e-15)
+    assert(d(b("logaddexp", Double.NegativeInfinity, Double.NegativeInfinity))
+      === Double.NegativeInfinity)
+    assert(math.abs(d(b("logaddexp2", 3.0, 3.0)) - 4.0) < 1e-15)
+    assert(math.abs(d(b("logaddexp2", 10.0, 0.0)) -
+      (math.log(math.pow(2, 10) + 1) / math.log(2))) < 1e-12)
+    // shifts and a couple of aliases resolve to the canonical ops
+    assert(b("left_shift", 3L, 2L) === 12L)
+    assert(b("right_shift", 12L, 2L) === 3L)
+    assert(NumpyOps.binary("add") eq Ops.plus)
+    assert(NumpyOps.unary("arccos") eq Ops.acosOp)
+    // a numpy binary drops into a kernel like any catalog op
+    import spark.implicits._
+    val a = GrbVector(Seq((0L, 12.0), (1L, 8.0)).toDF("id", "v"), 2)
+    val c = GrbVector(Seq((0L, 18.0), (1L, 20.0)).toDF("id", "v"), 2)
+    val out = a.ewiseMult(c, NumpyOps.binary("gcd")).df
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 6L, 1L -> 4L))
+  }
 }
