@@ -1004,6 +1004,16 @@ object SparkEntry {
         "payload", "doc_id")
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("content_md5"))),
 
+    "numpy_gcd_lcm" -> ((s, d) => {
+      // numpy-namespace integer kernels (codegen Euclid loop) against
+      // DuckDB's native gcd/lcm — both use the non-negative convention
+      val g = graft.core.NumpyOps.binary("gcd")
+      val l = graft.core.NumpyOps.binary("lcm")
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        g(col("l_orderkey"), col("l_partkey")).as("g"),
+        l(col("l_orderkey") % 97 + 1, col("l_partkey") % 89 + 1).as("l"))
+    }),
+
     // ===== data selection (distribution-level filters) =====
     "lm_bits" -> ((s, d) => Selection.lmBits(t(s, d, "documents"))),
 
@@ -2073,6 +2083,12 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN chan = 1 THEN v END) AS DOUBLE) / 144, 6) AS mean_g,
         |  round(CAST(sum(CASE WHEN chan = 2 THEN v END) AS DOUBLE) / 144, 6) AS mean_b
         |FROM p GROUP BY doc_id""".stripMargin,
+
+    "numpy_gcd_lcm" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  gcd(l_orderkey, l_partkey) AS g,
+        |  lcm(l_orderkey % 97 + 1, l_partkey % 89 + 1) AS l
+        |FROM lineitem""".stripMargin,
 
     "lm_bits" -> lmBitsSql,
     "dsir_weights" -> dsirSql,
