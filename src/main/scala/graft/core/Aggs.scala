@@ -79,4 +79,23 @@ object Aggs {
   /** log2(Σ 2^x) = logSumExp(x·ln2) / ln2. */
   def logSumExp2(c: Column): Column =
     when(count(c) > 0, lseUdaf(c.cast("double") * ln2) / ln2)
+
+  // boxed input + null skip, same contract as ProductAgg; identity 0
+  // (gcd(0, x) = |x|) so the buffer needs no presence flag
+  private object GcdAgg extends Aggregator[java.lang.Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: java.lang.Long): Long =
+      if (a == null) b else graft.functions.MathBinary.gcd(b, a.longValue())
+    def merge(a: Long, b: Long): Long = graft.functions.MathBinary.gcd(a, b)
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  private lazy val gcdUdaf = udaf(GcdAgg, Encoders.LONG)
+
+  /** gcd fold over a group (reference `monoid/numpy.py` gcd); missing on
+    * empty input like every reduce. */
+  def gcd(c: Column): Column =
+    when(count(c) > 0, gcdUdaf(c.cast("long")))
 }

@@ -61,6 +61,37 @@ object NumpyOps {
   val leftShift = BinaryOp("left_shift", (a, b) => Ops.bshift(a, b))
   val rightShift = BinaryOp("right_shift", (a, b) => Ops.bshift(a, -b))
 
+  // ---- numpy monoids (monoid/numpy.py: the distinct ones are gcd, fmax,
+  //      fmin, hypot, logaddexp, logaddexp2) ----
+  /** gcd is associative+commutative with identity 0 (gcd(0,x) = |x|). */
+  val gcdMonoid = Monoid("gcd", gcdOp, lit(0L), Aggs.gcd)
+  /** fmax/fmin identities are NaN (fmax(NaN, x) = x). Spark's min already
+    * ignores NaN (NaN sorts greatest) so fmin reduces natively; max would
+    * PROPAGATE NaN, so fmax's fast aggregate nulls NaN out first and falls
+    * back to max(c) (= NaN) only when the whole group is NaN. */
+  val fmaxMonoid = Monoid("fmax", fmaxOp, lit(Double.NaN),
+    c => coalesce(max(when(isnan(c), lit(null)).otherwise(c)), max(c)))
+  val fminMonoid = Monoid("fmin", fminOp, lit(Double.NaN), c => min(c))
+  /** hypot chains to the Euclidean norm: hypot(hypot(a,b),c) = √(a²+b²+c²);
+    * identity 0. Fast aggregate = the catalog's `hypot` aggregator. */
+  val hypotMonoid = Monoid("hypot", Ops.hypotOp, lit(0.0),
+    c => sqrt(sum(c * c)))
+  val logaddexpMonoid = Monoid("logaddexp", logaddexpOp,
+    lit(Double.NegativeInfinity), Aggs.logSumExp)
+  val logaddexp2Monoid = Monoid("logaddexp2", logaddexp2Op,
+    lit(Double.NegativeInfinity), Aggs.logSumExp2)
+
+  val monoid: Map[String, Monoid] = Seq(
+    gcdMonoid, fmaxMonoid, fminMonoid, hypotMonoid,
+    logaddexpMonoid, logaddexp2Monoid)
+    .map(m => m.name -> m).toMap ++ Map(
+    "add" -> Ops.plusMonoid, "multiply" -> Ops.timesMonoid,
+    "maximum" -> Ops.maxMonoid, "minimum" -> Ops.minMonoid,
+    "logical_and" -> Ops.landMonoid, "logical_or" -> Ops.lorMonoid,
+    "logical_xor" -> Ops.lxorMonoid, "equal" -> Ops.eqMonoid,
+    "bitwise_and" -> Ops.bandMonoid, "bitwise_or" -> Ops.borMonoid,
+    "bitwise_xor" -> Ops.bxorMonoid)
+
   /** Name-resolvable registry, aliases included (the reference exposes the
     * full numpy spelling set; aliases map to the SAME op objects so dtype
     * rules stay single-sourced). */

@@ -422,4 +422,42 @@ class OpCatalogSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(0L -> 6L, 1L -> 4L))
   }
+
+  test("numpy monoids: fast aggregate equals the binop fold, NaN/identity edges pinned") {
+    import spark.implicits._
+    // law check: reduce via the monoid's fast aggregate == left fold of its
+    // own binop from its own identity (same shape as the core monoid law test)
+    val vals = Seq(12.0, 18.0, 30.0, 42.0)
+    for (name <- Seq("gcd", "fmax", "fmin", "hypot", "logaddexp", "logaddexp2")) {
+      val m = NumpyOps.monoid(name)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val fast = df.agg(m.agg(col("v"))).collect()(0).get(0)
+      val folded = df.agg(aggregate(collect_list(col("v")), m.identity,
+        (acc, x) => m.binop(acc, x))).collect()(0).get(0)
+      assert(math.abs(d(fast) - d(folded)) <= 1e-12 * math.max(1.0, math.abs(d(folded))),
+        s"$name: fast=$fast fold=$folded")
+    }
+    // fmax ignores NaN members but an all-NaN group stays NaN; fmin native
+    val nan = Double.NaN
+    val mixed = Seq((0L, 1.0), (1L, nan), (2L, 3.0)).toDF("id", "v")
+    assert(d(mixed.agg(NumpyOps.monoid("fmax").agg(col("v"))).collect()(0).get(0)) === 3.0)
+    assert(d(mixed.agg(NumpyOps.monoid("fmin").agg(col("v"))).collect()(0).get(0)) === 1.0)
+    val allNan = Seq((0L, nan), (1L, nan)).toDF("id", "v")
+    assert(d(allNan.agg(NumpyOps.monoid("fmax").agg(col("v"))).collect()(0).get(0)).isNaN)
+    // gcd reduce through the kernel surface: rowwise gcd of a small matrix
+    val mdf = Seq((0L, 0L, 12.0), (0L, 1L, 18.0), (1L, 0L, 7.0), (1L, 1L, 5.0))
+      .toDF("src", "dst", "v")
+    val red = GrbMatrix(mdf.select(col("src"), col("dst"), col("v").cast("long").as("v")),
+      GrbShape(2, 2)).reduceRowwise(NumpyOps.monoid("gcd")).df
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(red === Map(0L -> 6L, 1L -> 1L))
+    // a numpy-monoid semiring runs inside mxm: gcd_times on the identity-ish
+    val s = Semiring("gcd_times", NumpyOps.monoid("gcd"), Ops.times)
+    val g = GrbMatrix(Seq((0L, 0L, 6L), (0L, 1L, 4L), (1L, 0L, 10L), (1L, 1L, 15L))
+      .toDF("src", "dst", "v"), GrbShape(2, 2))
+    val sq = g.mxm(g, s).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // row 0 of G·G at (0,0): gcd(6*6, 4*10) = gcd(36, 40) = 4
+    assert(sq((0L, 0L)) === 4L)
+  }
 }
