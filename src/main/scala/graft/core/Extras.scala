@@ -19,6 +19,9 @@ object Extras {
     "min" -> (min(_)),
     "max" -> (max(_)),
     "any_value" -> (first(_)),
+    // band/bor monoid reductions under their aggregator names (`agg.py:354-355`)
+    "bitwise_all" -> (c => bit_and(c.cast("long"))),
+    "bitwise_any" -> (c => bit_or(c.cast("long"))),
     "count" -> (c => count(c)),
     "count_nonzero" -> (c => count(when(c =!= 0, 1))),
     "count_zero" -> (c => count(when(c === 0, 1))),

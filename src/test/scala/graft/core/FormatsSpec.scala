@@ -190,6 +190,9 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(ag("root_mean_square").asInstanceOf[Double] - math.sqrt(25.0 / 3)) < 1e-12)
     assert(ag("argmax") == 1L)  // id of max value 4.0
     assert(ag("argmin") == 5L)  // id of min value 0.0
+    // band/bor monoid reductions under their aggregator names: 3&4&0 / 3|4|0
+    assert(ag("bitwise_all") == 0L)
+    assert(ag("bitwise_any") == 7L)
     assert(ag("first_index") == 0L && ag("last_index") == 5L)
   }
 }
