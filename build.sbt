@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 32-thread scaling leg OOMed once at 8g (32 concurrent
+  // tasks share ~0.6×heap of unified memory — ~150 MB/task was a coin flip
+  // against the packed-adjacency partitions + shuffle buffers). The box has
+  // 128 GiB; this is a MAX, not a reservation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

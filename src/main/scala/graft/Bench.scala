@@ -58,8 +58,16 @@ object Bench {
         s"[${pair(2, 8)},${pair(8, 32)}]"
       } catch {
         case e: Throwable =>
-          // a scaling-phase failure must not lose the query bench line
+          // a scaling-phase failure must not lose the query bench line —
+          // and a session the failure left STOPPED must not be handed to
+          // the query phase's getOrCreate (observed: an executor OOM
+          // stopped the context mid-level; the subsequent getOrCreate
+          // returned the corpse and the whole run died)
           System.err.println(s"[bench] scaling phase FAILED: ${e.getMessage}")
+          org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+            try s.stop() catch { case _: Throwable => () })
+          org.apache.spark.sql.SparkSession.clearActiveSession()
+          org.apache.spark.sql.SparkSession.clearDefaultSession()
           "[]"
       }
 
