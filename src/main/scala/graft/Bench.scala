@@ -54,7 +54,9 @@ object Bench {
           warmup = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUP", "1").toInt)
         val nE = ScalingBench.lastEdges
         def pair(lo: Int, hi: Int) = ScalingBench.PairResult(
-          nP, nE, iters, lo, hi, levels(lo), levels(hi)).json
+          nP, nE, iters, lo, hi, levels(lo), levels(hi),
+          ScalingBench.loadLog.getOrElse(lo, Vector.empty),
+          ScalingBench.loadLog.getOrElse(hi, Vector.empty)).json
         s"[${pair(2, 8)},${pair(8, 32)}]"
       } catch {
         case e: Throwable =>

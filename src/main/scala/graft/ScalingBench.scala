@@ -78,7 +78,9 @@ object ScalingBench {
 
   final case class PairResult(nPages: Long, nEdges: Long, iters: Int,
                               lowCpus: Int, highCpus: Int,
-                              lows: Seq[Double], highs: Seq[Double]) {
+                              lows: Seq[Double], highs: Seq[Double],
+                              loadLow: Seq[Double] = Nil,
+                              loadHigh: Seq[Double] = Nil) {
     def secLow: Double = lows.min
     def secHigh: Double = highs.min
     def tputLow: Double = nEdges.toDouble * iters / secLow
@@ -118,12 +120,33 @@ object ScalingBench {
       val lowsS = lows.map(x => f"$x%.2f").mkString("[", ",", "]")
       val highsS = highs.map(x => f"$x%.2f").mkString("[", ",", "]")
       val pairedS = pairedEff.map(x => f"$x%.3f").mkString("[", ",", "]")
-      f"""{"protocol":"scaling","pages":$nPages,"edges":$nEdges,"iters":$iters,"trials_low_sec":$lowsS,"trials_high_sec":$highsS,"low_cpus":$lowCpus,"high_cpus":$highCpus,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,"edges_per_sec_low":$tputLow%.0f,"edges_per_sec_high":$tputHigh%.0f,"paired_efficiency":$pairedS,"efficiency_minratio":$efficiencyMinRatio%.3f,"efficiency":$efficiency%.3f}"""
+      // per-leg 1-min host load — transparency for the shared-tenant box:
+      // Run R (BENCH/BASELINE.md) read 0.751 inside a sustained loadavg-6
+      // neighbor window whose DRAM pressure starves the high leg
+      // super-proportionally; the artifact now carries the evidence
+      val loadS =
+        if (loadLow.isEmpty && loadHigh.isEmpty) ""
+        else {
+          val a = loadLow.map(x => f"$x%.2f").mkString("[", ",", "]")
+          val b = loadHigh.map(x => f"$x%.2f").mkString("[", ",", "]")
+          s""","load1_low":$a,"load1_high":$b"""
+        }
+      f"""{"protocol":"scaling","pages":$nPages,"edges":$nEdges,"iters":$iters,"trials_low_sec":$lowsS,"trials_high_sec":$highsS,"low_cpus":$lowCpus,"high_cpus":$highCpus,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,"edges_per_sec_low":$tputLow%.0f,"edges_per_sec_high":$tputHigh%.0f,"paired_efficiency":$pairedS,"efficiency_minratio":$efficiencyMinRatio%.3f,"efficiency":$efficiency%.3f$loadS}"""
     }
   }
 
   /** edge count of the most recent timeOnce build (untimed metadata) */
   var lastEdges: Long = 0L
+
+  /** 1-min system load average observed at the END of each timed leg,
+    * per level in trial order (warm-up legs cleared by measureLevels).
+    * Transparency only — never feeds the estimators. */
+  val loadLog: scala.collection.mutable.Map[Int, Vector[Double]] =
+    scala.collection.mutable.Map.empty
+  private def load1(): Double =
+    try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
 
   /** Shuffle/adjacency partition count for the measured sessions — FIXED
     * across parallelism levels (default 64 = 2×the widest level's cores).
@@ -147,7 +170,9 @@ object ScalingBench {
     PageRank.run(s, adj, tol = 0.0, maxIter = iters)
     val sec = (System.nanoTime() - t0) / 1e9
     s.stop()
-    System.err.println(f"[scaling] cpus=$cpus iters=$iters sec=$sec%.2f")
+    val l1 = load1()
+    loadLog(cpus) = loadLog.getOrElse(cpus, Vector.empty) :+ l1
+    System.err.println(f"[scaling] cpus=$cpus iters=$iters sec=$sec%.2f load1=$l1%.2f")
     sec
   }
 
@@ -177,6 +202,7 @@ object ScalingBench {
     (1 to warmup).foreach { _ =>
       levels.foreach(c => timeOnce(adjPath, nPages, c, iters))
     }
+    loadLog.clear() // align the load log with the TIMED trials only
     val obs = (1 to trials).flatMap { _ =>
       levels.map(c => c -> timeOnce(adjPath, nPages, c, iters))
     }
@@ -193,6 +219,8 @@ object ScalingBench {
     val levels = Seq(lowCpus, lowCpus * 4)
     val obs = measureLevels(adjPath, nPages, levels, iters, trials, warmup)
     println(PairResult(nPages, lastEdges, iters, lowCpus, lowCpus * 4,
-      obs(lowCpus), obs(lowCpus * 4)).json)
+      obs(lowCpus), obs(lowCpus * 4),
+      loadLog.getOrElse(lowCpus, Vector.empty),
+      loadLog.getOrElse(lowCpus * 4, Vector.empty)).json)
   }
 }
