@@ -170,10 +170,48 @@ object ScalingBench {
     PageRank.run(s, adj, tol = 0.0, maxIter = iters)
     val sec = (System.nanoTime() - t0) / 1e9
     s.stop()
+    // stop() clears the default session but a stale thread-local active
+    // session has been observed to survive rapid stop/getOrCreate churn;
+    // clear both so the next leg's getOrCreate never sees a corpse
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val l1 = load1()
     loadLog(cpus) = loadLog.getOrElse(cpus, Vector.empty) :+ l1
     System.err.println(f"[scaling] cpus=$cpus iters=$iters sec=$sec%.2f load1=$l1%.2f")
     sec
+  }
+
+  /** timeOnce with leg-level retry. The protocol recycles a SparkContext
+    * per leg (≈20 create/stop cycles per full run) and Spark's local-mode
+    * teardown is not airtight under churn: the 2026-08-18 Run S died on
+    * trial 2 with "Job cancelled because SparkContext was shut down" after
+    * internal single-thread pools were torn down asynchronously mid-start
+    * (RejectedExecutionException from a pool already "Shutting down") —
+    * losing the ENTIRE scaling artifact for the run. A failed leg is not a
+    * measurement (no timing bias: we retry the whole leg from session
+    * construction), so retrying is sound; the retry is logged to stderr. */
+  def timeOnceRetry(adjPath: String, nPages: Long, cpus: Int, iters: Int,
+                    attempts: Int = 3): Double = {
+    var last: Throwable = null
+    var a = 1
+    // while, NOT a (1 to n).foreach closure: `return` inside a closure is a
+    // thrown NonLocalReturnControl, which a `catch Throwable` in the same
+    // closure would swallow — every SUCCESSFUL leg would read as a failure
+    while (a <= attempts) {
+      try return timeOnce(adjPath, nPages, cpus, iters)
+      catch { case e: Throwable =>
+        last = e
+        System.err.println(
+          s"[scaling] leg cpus=$cpus attempt $a/$attempts FAILED: ${e.getMessage}")
+        try SparkSession.getActiveSession.foreach(_.stop()) catch { case _: Throwable => () }
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        System.gc()
+        Thread.sleep(3000L * a)
+        a += 1
+      }
+    }
+    throw last
   }
 
   /** One N → 4N measurement: interleaved trials in one JVM, per-level
@@ -200,13 +238,36 @@ object ScalingBench {
   def measureLevels(adjPath: String, nPages: Long, levels: Seq[Int],
                     iters: Int, trials: Int, warmup: Int = 1): Map[Int, Seq[Double]] = {
     (1 to warmup).foreach { _ =>
-      levels.foreach(c => timeOnce(adjPath, nPages, c, iters))
+      levels.foreach(c => timeOnceRetry(adjPath, nPages, c, iters))
     }
     loadLog.clear() // align the load log with the TIMED trials only
-    val obs = (1 to trials).flatMap { _ =>
-      levels.map(c => c -> timeOnce(adjPath, nPages, c, iters))
+    // trial-at-a-time accumulation: if a leg fails terminally (all retries
+    // exhausted) mid-protocol, the COMPLETED full trials are still a valid
+    // paired sample — salvage them instead of losing the scaling artifact
+    // (Run S, BENCH/BASELINE.md). Partial trials are discarded wholesale so
+    // the per-trial pairing (and the load log) stays aligned across levels.
+    val acc = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+    var done = 0
+    var aborted = false
+    while (done < trials && !aborted) {
+      try {
+        val row = levels.map(c => c -> timeOnceRetry(adjPath, nPages, c, iters))
+        row.foreach { case (c, s) => acc(c) = acc.getOrElse(c, Vector.empty) :+ s }
+        done += 1
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[scaling] trial ${done + 1} aborted after retries: ${e.getMessage}; " +
+            s"keeping $done completed trial(s)")
+        aborted = true
+        // drop the partial trial's load entries so loadLog rows == trials
+        levels.foreach { c =>
+          loadLog.get(c).foreach(v => loadLog(c) = v.take(done))
+        }
+      }
     }
-    obs.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    if (done == 0)
+      throw new RuntimeException(s"scaling: no complete trial finished")
+    levels.map(c => c -> (acc(c): Seq[Double])).toMap
   }
 
   def main(args: Array[String]): Unit = {
