@@ -19,7 +19,11 @@ object ScalingRun {
       iters, trials, warmup)
     val nE = ScalingBench.lastEdges
     def pair(lo: Int, hi: Int) = ScalingBench.PairResult(
-      nPages, nE, iters, lo, hi, levels(lo), levels(hi)).json
+      nPages, nE, iters, lo, hi, levels(lo), levels(hi),
+      ScalingBench.loadLog.getOrElse(lo, Vector.empty),
+      ScalingBench.loadLog.getOrElse(hi, Vector.empty),
+      ScalingBench.probeLog.getOrElse(lo, Vector.empty),
+      ScalingBench.probeLog.getOrElse(hi, Vector.empty)).json
     println(s"[${pair(2, 8)},${pair(8, 32)}]")
     println(f"wall_sec: ${(System.nanoTime() - t0) / 1e9}%.1f")
   }
