@@ -51,9 +51,9 @@ object Bench {
         val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt
         val warmup = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUP", "1").toInt
         // one full protocol pass → (pairs JSON, 2→8 efficiency, median membw)
-        def runPass(): (String, Double, Double) = {
+        def runPass(passTrials: Int): (String, Double, Double) = {
           val levels = ScalingBench.measureLevels(adjPath, nP, Seq(2, 8, 32),
-            iters = iters, trials = trials, warmup = warmup)
+            iters = iters, trials = passTrials, warmup = warmup)
           val nE = ScalingBench.lastEdges
           def pr(lo: Int, hi: Int) = ScalingBench.PairResult(
             nP, nE, iters, lo, hi, levels(lo), levels(hi),
@@ -70,7 +70,7 @@ object Bench {
             else (probes(probes.size / 2 - 1) + probes(probes.size / 2)) / 2
           (s"${p28.json},${pr(8, 32).json}", p28.efficiency, med)
         }
-        val pass1 = runPass()
+        val pass1 = runPass(trials)
         val scalingOut =
           if (pass1._2 >= 0.80 ||
               sys.env.getOrElse("SPARK_GRAFT_SCALING_RETRY", "1") == "0")
@@ -89,7 +89,11 @@ object Bench {
             System.err.println(
               f"[scaling] pass-1 efficiency ${pass1._2}%.3f < 0.80 gate at " +
                 f"median membw ${pass1._3}%.1f GB/s — re-running the protocol once")
-            val pass2 = runPass()
+            // the retry pass runs min(trials, 3): a 5-trial pass is ~40 min
+            // wall (run T) and the median of 3 paired ratios still tolerates
+            // one bad trial — bounding Bench's worst case matters more than
+            // the extra two samples
+            val pass2 = runPass(math.min(trials, 3))
             val pick1 = pass1._3 >= pass2._3
             val (kept, dropped, idx) =
               if (pick1) (pass1, pass2, 1) else (pass2, pass1, 2)

@@ -363,6 +363,18 @@ object SparkEntry {
         .scores.select(col("id"), round(col("v"), 9).as("v"))
     }),
 
+    "katz_centrality" -> ((s, d) => {
+      // x ← β + α·Aᵀx, fixed 5 rounds (tol=0) so the DuckDB oracle unrolls
+      // the exact recurrence — same discipline as pagerank_iter5
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      // round(6): Katz values are O(1) (β floor = 1), so 6 digits is the
+      // same RELATIVE tolerance pagerank_iter5's round(9) gives its O(1e-3)
+      // values; 9 digits here tripped round-to-even boundary flips between
+      // Spark's and DuckDB's summation orders on ~1% of vertices
+      Katz.run(s, adj, alpha = 0.01, beta = 1.0, tol = 0.0, maxIter = 5)
+        .scores.select(col("id"), round(col("v"), 6).as("v"))
+    }),
+
     "hits" -> ((s, d) => {
       // 5 L2-normalized hub/authority rounds; the reversed-edge adjacency is
       // built once so both gathers run the zero-exchange plan
@@ -1224,6 +1236,7 @@ object SparkEntry {
     "betweenness" -> bcSql(6, 4),
 
     "pagerank_iter5" -> pagerankIterSql(5),
+    "katz_centrality" -> katzIterSql(5, digits = 6),
 
     // full pagerank: 15 unrolled iterations at 1e-6 rounding (the query is
     // pinned to the same fixed recurrence — VERDICT r3 item 2)
@@ -2143,6 +2156,23 @@ object SparkEntry {
   /** K full pagerank_3f iterations as K chained (non-recursive) CTEs —
     * recursive SQL cannot aggregate in the recursive term, but a fixed
     * iteration count unrolls exactly. */
+  /** unrolled Katz recurrence x ← 1 + 0.01·Aᵀx (k fixed rounds), matching
+    * Katz.run(alpha=0.01, beta=1.0, tol=0, maxIter=k) over edgesG */
+  private def katzIterSql(k: Int, digits: Int = 9): String = {
+    val steps = (1 to k).map { i =>
+      s"""x$i AS (
+         |  SELECT t.id AS id, 1.0 + coalesce(c.g, 0) AS v
+         |  FROM range(0, 937) t(id) LEFT JOIN (
+         |    SELECT b.dst AS id, sum(x${i - 1}.v * 0.01) AS g
+         |    FROM base b JOIN x${i - 1} ON x${i - 1}.id = b.src GROUP BY b.dst) c
+         |  ON t.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($sqlEdges),
+       |x0 AS (SELECT id, 1.0 AS v FROM range(0, 937) t(id)),
+       |$steps
+       |SELECT id, round(v, $digits) AS v FROM x$k""".stripMargin
+  }
+
   private def pagerankIterSql(k: Int, digits: Int = 9): String = {
     val steps = (1 to k).map { i =>
       s"""r$i AS (

@@ -187,6 +187,29 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(l == 1L)
   }
 
+  test("Katz centrality: driver-computed recurrence on a path; beta floor holds") {
+    // path 0→1→2, α=0.5, β=1: fixed point x = (1, 1.5, 1.75) — reached in
+    // 3 rounds; vertex 0 (no in-edges) stays at the β floor
+    val adj = Adjacency.build(Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"), 3, 4)
+    val got = Katz.run(spark, adj, alpha = 0.5, beta = 1.0, tol = 0.0,
+        maxIter = 3)
+      .scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 1.0, 1L -> 1.5, 2L -> 1.75))
+    // and on the pr demo graph, agree with the driver-side recurrence
+    val n = 5
+    val adj2 = Adjacency.build(prEdges.toDF("src", "dst"), n, 4)
+    var x = Array.fill(n)(1.0)
+    (1 to 4).foreach { _ =>
+      val nx = Array.fill(n)(1.0)
+      prEdges.foreach { case (s, d) => nx(d.toInt) += 0.2 * x(s.toInt) }
+      x = nx
+    }
+    val got2 = Katz.run(spark, adj2, alpha = 0.2, beta = 1.0, tol = 0.0,
+        maxIter = 4)
+      .scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until n).foreach(i => assert(math.abs(got2(i.toLong) - x(i)) < 1e-12))
+  }
+
   test("Eccentricity: per-seed max BFS level on the pr demo graph") {
     // from 0: max dist 2 (to 3, 4); from 1: max dist 4 (1→3→4→0→2);
     // from 7 in the disconnected tail 7→8: max dist 1
