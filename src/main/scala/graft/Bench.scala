@@ -35,8 +35,11 @@ object Bench {
     // per-iteration economics — they just average each sample over a wider
     // host-noise window, stabilizing the per-level minimum.
     // SPARK_GRAFT_SCALING=0 skips.
-    val scalingJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "0") "[]"
+    // (verbose-for-detail-file, compact-for-stdout) — the stdout line lives
+    // inside the driver's ~2000-char tail; per-leg load/probe arrays and any
+    // contention-retry discarded pass only ship in BENCH/bench_detail.json
+    val (scalingJsonFull, scalingJsonCompact) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "0") ("[]", "[]")
       else try {
         val nP = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAGES", "10000000").toLong
         val iters = sys.env.getOrElse("SPARK_GRAFT_SCALING_ITERS", "4").toInt
@@ -50,8 +53,10 @@ object Bench {
 
         val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt
         val warmup = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUP", "1").toInt
-        // one full protocol pass → (pairs JSON, 2→8 efficiency, median membw)
-        def runPass(passTrials: Int): (String, Double, Double) = {
+        // one full protocol pass →
+        // (verbose pairs JSON, compact pairs JSON, 2→8 efficiency, median membw)
+        case class Pass(full: String, compact: String, eff: Double, membw: Double)
+        def runPass(passTrials: Int): Pass = {
           val levels = ScalingBench.measureLevels(adjPath, nP, Seq(2, 8, 32),
             iters = iters, trials = passTrials, warmup = warmup)
           val nE = ScalingBench.lastEdges
@@ -61,20 +66,21 @@ object Bench {
             ScalingBench.loadLog.getOrElse(hi, Vector.empty),
             ScalingBench.probeLog.getOrElse(lo, Vector.empty),
             ScalingBench.probeLog.getOrElse(hi, Vector.empty))
-          val p28 = pr(2, 8)
+          val p28 = pr(2, 8); val p832 = pr(8, 32)
           val probes = Seq(2, 8, 32)
             .flatMap(c => ScalingBench.probeLog.getOrElse(c, Vector.empty)).sorted
           val med =
             if (probes.isEmpty) -1.0
             else if (probes.size % 2 == 1) probes(probes.size / 2)
             else (probes(probes.size / 2 - 1) + probes(probes.size / 2)) / 2
-          (s"${p28.json},${pr(8, 32).json}", p28.efficiency, med)
+          Pass(s"${p28.json},${p832.json}",
+            s"${p28.jsonCompact},${p832.jsonCompact}", p28.efficiency, med)
         }
         val pass1 = runPass(trials)
         val scalingOut =
-          if (pass1._2 >= 0.80 ||
+          if (pass1.eff >= 0.80 ||
               sys.env.getOrElse("SPARK_GRAFT_SCALING_RETRY", "1") == "0")
-            s"[${pass1._1}]"
+            (s"[${pass1.full}]", s"[${pass1.compact}]")
           else {
             // Contention retry (Run R, BENCH/BASELINE.md): a sustained
             // DRAM-consuming neighbor outside this VM starves the high-core
@@ -87,19 +93,22 @@ object Bench {
             // <0.8, that lower number is what ships). Both passes' data
             // stay in the artifact.
             System.err.println(
-              f"[scaling] pass-1 efficiency ${pass1._2}%.3f < 0.80 gate at " +
-                f"median membw ${pass1._3}%.1f GB/s — re-running the protocol once")
+              f"[scaling] pass-1 efficiency ${pass1.eff}%.3f < 0.80 gate at " +
+                f"median membw ${pass1.membw}%.1f GB/s — re-running the protocol once")
             // the retry pass runs min(trials, 3): a 5-trial pass is ~40 min
             // wall (run T) and the median of 3 paired ratios still tolerates
             // one bad trial — bounding Bench's worst case matters more than
             // the extra two samples
             val pass2 = runPass(math.min(trials, 3))
-            val pick1 = pass1._3 >= pass2._3
+            val pick1 = pass1.membw >= pass2.membw
             val (kept, dropped, idx) =
               if (pick1) (pass1, pass2, 1) else (pass2, pass1, 2)
-            val meta =
-              f"""{"protocol":"contention_retry","picked_pass":$idx,"pass1_eff":${pass1._2}%.3f,"pass1_membw_gbps":${pass1._3}%.1f,"pass2_eff":${pass2._2}%.3f,"pass2_membw_gbps":${pass2._3}%.1f,"discarded":[${dropped._1}]}"""
-            s"[${kept._1},$meta]"
+            def meta(discarded: String) =
+              f"""{"protocol":"contention_retry","picked_pass":$idx,"pass1_eff":${pass1.eff}%.3f,"pass1_membw_gbps":${pass1.membw}%.1f,"pass2_eff":${pass2.eff}%.3f,"pass2_membw_gbps":${pass2.membw}%.1f$discarded}"""
+            // the discarded pass's full trial data ships in the DETAIL file
+            // only — inside the stdout budget it would truncate the line
+            (s"[${kept.full},${meta(s""","discarded":[${dropped.full}]""")}]",
+              s"[${kept.compact},${meta("")}]")
           }
         MemProbe.release() // free the 512 MiB probe buffer for the query phase
         scalingOut
@@ -116,7 +125,7 @@ object Bench {
             try s.stop() catch { case _: Throwable => () })
           org.apache.spark.sql.SparkSession.clearActiveSession()
           org.apache.spark.sql.SparkSession.clearDefaultSession()
-          "[]"
+          ("[]", "[]")
       }
 
     val spark = SparkSession.builder()
@@ -185,12 +194,12 @@ object Bench {
     // making the truncation explicit.
     val webgraphJson =
       f""""webgraph":{"pages":$nPages,"edges":${adj.numEdges},"build_sec":$tBuild%.3f,"pagerank_sec":$tPr%.3f,"pagerank_iters":${pr.iterations},"edges_per_sec":$edgesPerSec%.0f}"""
-    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+    def line(qs: Seq[(String, Double)], omitted: Int, scaling: String): String = {
       val qJson = qs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"queries_total":${results.size},"queries_omitted":$omitted,"detail":"BENCH/bench_detail.json","failed":$failedJson,"sf":"$sfDir",$webgraphJson,"scaling":$scalingJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"queries_total":${results.size},"queries_omitted":$omitted,"detail":"BENCH/bench_detail.json","failed":$failedJson,"sf":"$sfDir",$webgraphJson,"scaling":$scaling}"""
     }
-    val detail = line(results.sortBy(_._1), 0)
+    val detail = line(results.sortBy(_._1), 0, scalingJsonFull)
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH/bench_detail.json")
       try w.println(detail) finally w.close()
@@ -199,8 +208,10 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
     val budget = 1700 // tail=2000 minus sbt's "[info] " prefix + trailer lines
     val keep = (results.size to 0 by -1)
-      .find(k => line(bySlowest.take(k), results.size - k).length <= budget)
+      .find(k =>
+        line(bySlowest.take(k), results.size - k, scalingJsonCompact).length
+          <= budget)
       .getOrElse(0)
-    println(line(bySlowest.take(keep), results.size - keep))
+    println(line(bySlowest.take(keep), results.size - keep, scalingJsonCompact))
   }
 }

@@ -171,7 +171,14 @@ object ScalingBench {
       val k = sorted.size
       if (k % 2 == 1) sorted(k / 2) else (sorted(k / 2 - 1) + sorted(k / 2)) / 2
     }
-    def json: String = {
+    /** full artifact JSON: trials, both estimators, per-leg load + probe */
+    def json: String = mk(verbose = true)
+    /** stdout-budget variant: drops the per-leg load/probe arrays (they
+      * live in BENCH/bench_detail.json) — the driver keeps only the last
+      * ~2000 chars of output, and a scaling section that overflows the
+      * budget would truncate the official line into unparseable JSON */
+    def jsonCompact: String = mk(verbose = false)
+    private def mk(verbose: Boolean): String = {
       val lowsS = lows.map(x => f"$x%.2f").mkString("[", ",", "]")
       val highsS = highs.map(x => f"$x%.2f").mkString("[", ",", "]")
       val pairedS = pairedEff.map(x => f"$x%.3f").mkString("[", ",", "]")
@@ -180,7 +187,7 @@ object ScalingBench {
       // neighbor window whose DRAM pressure starves the high leg
       // super-proportionally; the artifact now carries the evidence
       val loadS =
-        if (loadLow.isEmpty && loadHigh.isEmpty) ""
+        if (!verbose || (loadLow.isEmpty && loadHigh.isEmpty)) ""
         else {
           val a = loadLow.map(x => f"$x%.2f").mkString("[", ",", "]")
           val b = loadHigh.map(x => f"$x%.2f").mkString("[", ",", "]")
@@ -189,7 +196,7 @@ object ScalingBench {
       // per-leg memory-bandwidth probe readings (GB/s) — the direct
       // instrument for the Run-R DRAM-contention failure mode
       val probeS =
-        if (probeLow.isEmpty && probeHigh.isEmpty) ""
+        if (!verbose || (probeLow.isEmpty && probeHigh.isEmpty)) ""
         else {
           val a = probeLow.map(x => f"$x%.1f").mkString("[", ",", "]")
           val b = probeHigh.map(x => f"$x%.1f").mkString("[", ",", "]")
