@@ -273,6 +273,57 @@ object SparkEntry {
     "assortativity" -> ((s, d) =>
       GraphStats.assortativity(edgesGSym(s, d))),
 
+    "s_metric" -> ((s, d) =>
+      GraphStats.sMetric(edgesGSym(s, d))),
+
+    "transitivity" -> ((s, d) =>
+      GraphStats.transitivity(edgesGSym(s, d), parts(s))),
+
+    "rich_club" -> ((s, d) =>
+      GraphStats.richClub(edgesGSym(s, d))),
+
+    "triangle_centrality" -> ((s, d) =>
+      TriangleCentrality.run(edgesGSym(s, d), parts(s))),
+
+    "square_clustering" -> ((s, d) => {
+      // 1/7-sparsified G (the link_predict regime): the full mod-937
+      // expander is wedge-saturated — Σ C(deg,2) grows ~quadratically with
+      // density while C4 collapses toward a constant; thinning restores a
+      // genuine square-counting regime AND bounds the wedge table
+      val g = edgesG(s, d).filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      GraphStats.squareClustering(e, parts(s))
+    }),
+
+    "generalized_degree" -> ((s, d) =>
+      GraphStats.generalizedDegree(edgesGSym(s, d), parts(s))),
+
+    "eigenvector_centrality" -> ((s, d) => {
+      // 5 power-iteration rounds of x ← (I+Aᵀ)x, L2-normalized once at the
+      // end (linearity — see Eigenvector Scaladoc); fixed rounds so the
+      // DuckDB oracle unrolls the exact recurrence like katz_centrality
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      Eigenvector.run(s, adj, maxIter = 5)
+        .scores.select(col("id"), round(col("v"), 6).as("v"))
+    }),
+
+    "apsp_minplus" -> ((s, d) => {
+      // ≤4-hop all-pairs min_plus distances over the small fixed 97-vertex
+      // integer-cent matrix S (bounded 97² output at every SF): zero the
+      // diagonal so the squared power accumulates shorter-or-equal paths,
+      // then one repeated min_plus squaring — the reference's
+      // `min_plus` mxm power recipe (Floyd–Warshall's algebraic core)
+      val base = matS(s, d)
+      val dm = GrbMatrix(
+        base.df.unionByName(
+            s.range(97).select(col("id").as("src"), col("id").as("dst"),
+              lit(0.0).as("v")))
+          .groupBy("src", "dst").agg(min(col("v")).as("v")),
+        base.shape)
+      dm.power(4, Ops.semirings("min_plus")).df
+    }),
+
     "reciprocity" -> ((s, d) =>
       // on the DIRECTED graph — the symmetric closure is 1.0 by construction
       GraphStats.reciprocity(edgesG(s, d))),
@@ -1170,6 +1221,137 @@ object SparkEntry {
          |             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
          |                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS assortativity
          |FROM s""".stripMargin,
+
+    "s_metric" ->
+      s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src)
+         |SELECT CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_metric
+         |FROM e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id
+         |WHERE e.src < e.dst""".stripMargin,
+
+    "transitivity" ->
+      s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |w AS (SELECT CAST(sum(deg * (deg - 1)) AS BIGINT) AS w2 FROM deg),
+         |canon AS (SELECT src, dst FROM e WHERE src < dst),
+         |o AS (SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND c.src < c.dst)
+         |                  THEN c.src ELSE c.dst END AS lo,
+         |             CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND c.src < c.dst)
+         |                  THEN c.dst ELSE c.src END AS hi
+         |      FROM canon c JOIN deg dx ON c.src = dx.id JOIN deg dy ON c.dst = dy.id),
+         |t AS (SELECT count(*) AS t
+         |      FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+         |      JOIN canon tc ON tc.src = w1.hi AND tc.dst = w2.hi)
+         |SELECT CASE WHEN w.w2 = 0 THEN 0.0
+         |            ELSE round(t.t * 6.0 / w.w2, 9) END AS transitivity
+         |FROM t, w""".stripMargin,
+
+    "rich_club" ->
+      s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |dh AS (SELECT deg, count(*) AS n FROM deg GROUP BY deg),
+         |mh AS (SELECT least(dx.deg, dy.deg) AS m, count(*) AS n
+         |       FROM e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id
+         |       WHERE e.src < e.dst GROUP BY 1),
+         |ks AS (SELECT unnest(range(0, (SELECT max(deg) FROM dh))) AS k),
+         |nk AS (SELECT k, CAST(sum(n) AS BIGINT) AS n_k FROM ks
+         |       JOIN dh ON dh.deg > ks.k GROUP BY k),
+         |ek AS (SELECT k, CAST(sum(n) AS BIGINT) AS e_k FROM ks
+         |       JOIN mh ON mh.m > ks.k GROUP BY k)
+         |SELECT nk.k AS k, n_k, coalesce(e_k, 0) AS e_k,
+         |       round(coalesce(e_k, 0) * 2.0 / (n_k * (n_k - 1)), 6) AS phi
+         |FROM nk LEFT JOIN ek ON nk.k = ek.k WHERE n_k >= 2""".stripMargin,
+
+    "triangle_centrality" ->
+      s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |canon AS (SELECT src, dst FROM e WHERE src < dst),
+         |o AS (SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND c.src < c.dst)
+         |                  THEN c.src ELSE c.dst END AS lo,
+         |             CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND c.src < c.dst)
+         |                  THEN c.dst ELSE c.src END AS hi
+         |      FROM canon c JOIN deg dx ON c.src = dx.id JOIN deg dy ON c.dst = dy.id),
+         |tri AS MATERIALIZED (SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+         |      FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+         |      JOIN canon ce ON ce.src = w1.hi AND ce.dst = w2.hi),
+         |tcx AS (SELECT id, count(*) AS t FROM (
+         |        SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |        UNION ALL SELECT c FROM tri) GROUP BY id),
+         |t AS MATERIALIZED (SELECT d.id, coalesce(tcx.t, 0) AS t
+         |     FROM (SELECT DISTINCT src AS id FROM e) d LEFT JOIN tcx USING (id)),
+         |te AS (SELECT DISTINCT src, dst FROM (
+         |       SELECT a AS src, b AS dst FROM tri UNION ALL SELECT b, a FROM tri
+         |       UNION ALL SELECT a, c FROM tri UNION ALL SELECT c, a FROM tri
+         |       UNION ALL SELECT b, c FROM tri UNION ALL SELECT c, b FROM tri)),
+         |at AS (SELECT e.dst AS id, CAST(sum(t.t) AS BIGINT) AS g
+         |       FROM e JOIN t ON e.src = t.id GROUP BY e.dst),
+         |tt AS (SELECT te.dst AS id, CAST(sum(t.t) AS BIGINT) AS g
+         |       FROM te JOIN t ON te.src = t.id GROUP BY te.dst),
+         |tg AS (SELECT count(*) AS tg FROM tri)
+         |SELECT t.id AS id,
+         |       CASE WHEN tg.tg = 0 THEN 0.0
+         |            ELSE round(CAST(3 * coalesce(at.g, 0) - 2 * coalesce(tt.g, 0)
+         |                            + t.t AS DOUBLE) / (3.0 * tg.tg), 6) END AS tc
+         |FROM t LEFT JOIN at USING (id) LEFT JOIN tt USING (id) CROSS JOIN tg"""
+        .stripMargin,
+
+    "eigenvector_centrality" -> eigenvectorIterSql(5, digits = 6),
+
+    "square_clustering" ->
+      s"""WITH g AS (SELECT src, dst FROM ($sqlEdges)
+         |           WHERE (src * 31 + dst) % 7 = 0),
+         |e AS MATERIALIZED (SELECT src, dst FROM g
+         |     UNION SELECT dst, src FROM g),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |wed AS MATERIALIZED (SELECT a.src AS c, a.dst AS u, b.dst AS w
+         |     FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst),
+         |cn AS (SELECT u, w, count(*) AS cn FROM wed GROUP BY u, w),
+         |pr AS MATERIALIZED (SELECT cn.u, cn.w, cn.cn - 1 AS q,
+         |       CASE WHEN t.src IS NULL THEN 0 ELSE 1 END AS theta
+         |     FROM cn LEFT JOIN (SELECT src, dst FROM e WHERE src < dst) t
+         |       ON t.src = cn.u AND t.dst = cn.w),
+         |r AS (SELECT wed.c AS id, CAST(sum(pr.q) AS BIGINT) AS num,
+         |       CAST(sum(du.deg + dw.deg - pr.q - 2 - 2 * pr.theta) AS BIGINT)
+         |         AS den
+         |     FROM wed JOIN pr ON wed.u = pr.u AND wed.w = pr.w
+         |     JOIN deg du ON wed.u = du.id JOIN deg dw ON wed.w = dw.id
+         |     GROUP BY wed.c)
+         |SELECT d.id AS id, CASE WHEN coalesce(r.den, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(r.num AS DOUBLE) / r.den, 6) END AS sq
+         |FROM deg d LEFT JOIN r ON d.id = r.id""".stripMargin,
+
+    "generalized_degree" ->
+      s"""WITH e AS MATERIALIZED ($sqlEdgesSym),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |canon AS (SELECT src, dst FROM e WHERE src < dst),
+         |o AS (SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND c.src < c.dst)
+         |                  THEN c.src ELSE c.dst END AS lo,
+         |             CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND c.src < c.dst)
+         |                  THEN c.dst ELSE c.src END AS hi
+         |      FROM canon c JOIN deg dx ON c.src = dx.id JOIN deg dy ON c.dst = dy.id),
+         |tri AS MATERIALIZED (SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+         |      FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+         |      JOIN canon ce ON ce.src = w1.hi AND ce.dst = w2.hi),
+         |sup AS (SELECT u, v, count(*) AS sup FROM (
+         |        SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+         |        UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+         |        UNION ALL SELECT b, c FROM tri) GROUP BY 1, 2),
+         |pe AS (SELECT e.src AS id, coalesce(s.sup, 0) AS t FROM e
+         |       LEFT JOIN sup s ON least(e.src, e.dst) = s.u
+         |                      AND greatest(e.src, e.dst) = s.v)
+         |SELECT id, t, CAST(count(*) AS BIGINT) AS n_edges
+         |FROM pe GROUP BY id, t""".stripMargin,
+
+    "apsp_minplus" ->
+      s"""WITH m AS MATERIALIZED ($sqlS),
+         |d1 AS MATERIALIZED (SELECT src, dst, min(v) AS v FROM (
+         |     SELECT src, dst, v FROM m
+         |     UNION ALL SELECT i, i, CAST(0.0 AS DOUBLE) FROM range(0, 97) t(i))
+         |     GROUP BY 1, 2),
+         |d2 AS MATERIALIZED (SELECT a.src AS src, b.dst AS dst, min(a.v + b.v) AS v
+         |     FROM d1 a JOIN d1 b ON a.dst = b.src GROUP BY 1, 2)
+         |SELECT a.src AS src, b.dst AS dst, min(a.v + b.v) AS v
+         |FROM d2 a JOIN d2 b ON a.dst = b.src GROUP BY 1, 2""".stripMargin,
 
     "reciprocity" ->
       s"""WITH e AS MATERIALIZED ($sqlEdges),
@@ -2171,6 +2353,26 @@ object SparkEntry {
        |x0 AS (SELECT id, 1.0 AS v FROM range(0, 937) t(id)),
        |$steps
        |SELECT id, round(v, $digits) AS v FROM x$k""".stripMargin
+  }
+
+  /** unrolled eigenvector power iteration x ← x + Aᵀx (k fixed rounds,
+    * unnormalized — linearity defers the L2 rescale, see Eigenvector
+    * Scaladoc) with ONE final L2 normalization, matching
+    * Eigenvector.run(maxIter = k) over edgesG */
+  private def eigenvectorIterSql(k: Int, digits: Int = 9): String = {
+    val steps = (1 to k).map { i =>
+      s"""x$i AS (
+         |  SELECT t.id AS id, t.v + coalesce(c.g, 0) AS v
+         |  FROM x${i - 1} t LEFT JOIN (
+         |    SELECT b.dst AS id, sum(x${i - 1}.v) AS g
+         |    FROM base b JOIN x${i - 1} ON x${i - 1}.id = b.src GROUP BY b.dst) c
+         |  ON t.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($sqlEdges),
+       |x0 AS (SELECT id, 1.0/937 AS v FROM range(0, 937) t(id)),
+       |$steps
+       |SELECT id, round(v / (SELECT sqrt(sum(v * v)) FROM x$k), $digits) AS v
+       |FROM x$k""".stripMargin
   }
 
   private def pagerankIterSql(k: Int, digits: Int = 9): String = {

@@ -130,4 +130,170 @@ object GraphStats {
           / (col("two_m").cast("double") * col("two_m")),
       9).as("modularity"))
   }
+
+  /** s-metric (Li, Alderson, Doyle & Willinger 2005; graphblas-algorithms
+    * `smetric.py`): s(G) = Σ_{(u,v)∈E} deg(u)·deg(v) over the UNDIRECTED
+    * edge set (each edge once — the canonical src < dst half of the
+    * symmetric input). High s means hubs attach to hubs. EXACT int64 sum
+    * (overflows only past Σ deg·deg ≈ 9·10^18, i.e. ~10^9 edges of
+    * degree ~10^5 — recompute in double past that). One degree aggregation
+    * + two joins + a scalar sum; output a single (s_metric) row. */
+  def sMetric(edgesSym: DataFrame): DataFrame = {
+    val deg = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    edgesSym.filter(col("src") < col("dst"))
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+      .agg(sum(col("du") * col("dv")).as("s_metric"))
+  }
+
+  /** Global transitivity: 3·|triangles| / |wedges| with wedges counted as
+    * Σ_v C(deg(v), 2) — the whole-graph ratio beside [[localClustering]]'s
+    * per-vertex coefficient (graphblas-algorithms `cluster.py`
+    * transitivity; reference kernels: the same masked `plus_pair` square).
+    * Both counts are EXACT int64 aggregates combined in one closed-form
+    * double, so the result is bit-stable across partitionings. Wedge-free
+    * graphs (max degree < 2) yield 0. Output a single (transitivity) row,
+    * 9 decimals. */
+  def transitivity(edgesSym: DataFrame, numPartitions: Int): DataFrame = {
+    val e = edgesSym.select(col("src"), col("dst")).persist()
+    e.count()
+    try {
+      // 2·wedges as an EXACT int64 (deg·(deg−1) is even; halving folds into
+      // the final ratio so no long→double division happens mid-aggregate)
+      val wedges2 = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .agg(sum(col("deg") * (col("deg") - 1)).as("w2"))
+      val (tri, o) = KTruss.orientedTriangles(e, numPartitions)
+      val nt = tri.agg(count(lit(1)).as("t"))
+      // materialize the 1-row result before releasing the oriented state it
+      // scans (same discipline as localClustering's output)
+      val out = Ckpt.materialize(nt.crossJoin(wedges2).select(
+        when(col("w2") === 0, lit(0.0)).otherwise(
+          round(col("t") * 6.0 / col("w2"), 9)).as("transitivity")))
+      o.release()
+      out.df
+    } finally e.unpersist(false)
+  }
+
+  /** Square (C4) clustering coefficient (Lind, González & Herrmann 2005;
+    * graphblas-algorithms `cluster.py` square_clustering): the fraction of
+    * possible squares through each vertex,
+    *
+    *   C4(v) = Σ_{u<w ∈ N(v)} q_v(u,w) / Σ_{u<w ∈ N(v)} (k_u + k_w − q_v(u,w) − 2 − 2θ_uw)
+    *
+    * with q_v(u,w) = |N(u)∩N(w)| − 1 (common neighbors besides v) and
+    * θ_uw = 1 iff u~w. The denominator is NetworkX's
+    * (k_u − degm) + (k_w − degm) + q with degm = q + 1 + θ, expanded so
+    * every per-pair term is exact int64 and the only float op is the final
+    * ratio.
+    *
+    * Relational shape: ONE wedge table (c, u<w) — the self-join of the
+    * neighbor list on the center — serves both sides: q comes from the
+    * wedge-pair multiplicity (cn(u,w) = #wedges between u and w counts
+    * exactly the common neighbors), θ from a left join against the
+    * canonical edge set, degrees from one aggregation. No 4-path
+    * enumeration: squares are never materialized, only counted through cn.
+    *
+    * Scale: the wedge table is Σ_v C(deg v, 2) rows — inherent to the
+    * definition (every pair at distance 2 must be inspected). Unlike the
+    * triangle kernels there is NO orientation trick (wedges are needed at
+    * every center), so hub vertices dominate the cost quadratically:
+    * pre-cap hub degrees (as the Q fixture sparsifies) or accept the
+    * wedge-bound cost. Output (id, sq) for every vertex with an incident
+    * edge, 6 decimals; vertices with no valid pair score 0. */
+  def squareClustering(edgesSym: DataFrame, numPartitions: Int): DataFrame = {
+    val e = edgesSym.select(col("src"), col("dst")).persist()
+    e.count()
+    try {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg"))
+      val nbr = e.select(col("src").as("c"), col("dst").as("u"))
+      val wedges = nbr.join(nbr.withColumnRenamed("u", "w"), Seq("c"))
+        .filter(col("u") < col("w"))
+        .repartition(numPartitions, col("u"), col("w")).persist()
+      wedges.count() // feeds cn AND the final join — scan the 2-hop set once
+      try {
+        val cn = wedges.groupBy("u", "w").agg(count(lit(1)).as("cn"))
+        val theta = e.filter(col("src") < col("dst"))
+          .select(col("src").as("u"), col("dst").as("w"), lit(1L).as("theta"))
+        val pairs = cn.join(theta, Seq("u", "w"), "left")
+          .select(col("u"), col("w"), (col("cn") - 1).as("q"),
+            coalesce(col("theta"), lit(0L)).as("theta"))
+        val terms = wedges.join(pairs, Seq("u", "w"))
+          .join(deg.select(col("id").as("u"), col("deg").as("ku")), "u")
+          .join(deg.select(col("id").as("w"), col("deg").as("kw")), "w")
+          .groupBy(col("c").as("id")).agg(
+            sum(col("q")).as("num"),
+            sum(col("ku") + col("kw") - col("q") - 2 - col("theta") * 2)
+              .as("den"))
+        val out = Ckpt.materialize(deg
+          .join(terms, Seq("id"), "left")
+          .select(col("id"),
+            when(coalesce(col("den"), lit(0L)) === 0, lit(0.0))
+              .otherwise(round(col("num").cast("double") / col("den"), 6))
+              .as("sq")))
+        out.df
+      } finally wedges.unpersist(false)
+    } finally e.unpersist(false)
+  }
+
+  /** Generalized degree (Jiao et al.; NetworkX/graphblas-algorithms
+    * `cluster.py` generalized_degree): per vertex, the histogram of how
+    * many triangles each incident edge sits on — (id, t, n_edges) rows
+    * meaning "v has n_edges edges that each close exactly t triangles".
+    * Σ_t n_edges = deg(v) and Σ_t t·n_edges = 2·tri(v). Per-edge triangle
+    * support comes from the shared oriented enumeration
+    * (KTruss.supportCanon — O(√E) wedge fan-out), scattered to both
+    * endpoints; support-0 edges join back via the full edge list. */
+  def generalizedDegree(edgesSym: DataFrame, numPartitions: Int): DataFrame = {
+    val e = edgesSym.select(col("src"), col("dst")).persist()
+    e.count()
+    try {
+      val supC = KTruss.supportCanon(e, numPartitions)
+      // symmetrize support onto each endpoint; non-triangle edges get t=0
+      val perEdge = e
+        .join(supC.df.select(
+            least(col("src"), col("dst")).as("_u"),
+            greatest(col("src"), col("dst")).as("_v"), col("sup")),
+          least(col("src"), col("dst")) === col("_u")
+            && greatest(col("src"), col("dst")) === col("_v"), "left")
+        .select(col("src").as("id"), coalesce(col("sup"), lit(0L)).as("t"))
+      val out = Ckpt.materialize(
+        perEdge.groupBy("id", "t").agg(count(lit(1)).as("n_edges")))
+      supC.release()
+      out.df
+    } finally e.unpersist(false)
+  }
+
+  /** Rich-club coefficient (Colizza et al. 2006; NetworkX
+    * `rich_club_coefficient(normalized=False)`): for every degree threshold
+    * k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k vertices and E_k undirected
+    * edges survive the deg > k filter. Computed WITHOUT per-k passes over
+    * the graph: one degree histogram and one per-edge min-endpoint-degree
+    * histogram, then a (k × distinct-degree) theta-join suffix sum — both
+    * histograms are O(max_deg) rows, so the join is bounded by the DEGREE
+    * DOMAIN, never |V| or |E|, and scales independently of the graph size.
+    * Rows with N_k < 2 are dropped (φ undefined). Output (k, n_k, e_k,
+    * phi), phi rounded to 6 decimals, k ∈ [0, max_deg). */
+  def richClub(edgesSym: DataFrame): DataFrame = {
+    val deg = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    // vertex-degree histogram and per-canonical-edge min-degree histogram
+    val dh = deg.groupBy("deg").agg(count(lit(1)).as("n"))
+    val mh = edgesSym.filter(col("src") < col("dst"))
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+      .groupBy(least(col("du"), col("dv")).as("m")).agg(count(lit(1)).as("n"))
+    val ks = dh.agg(max(col("deg")).as("mx"))
+      .select(explode(sequence(lit(0L), col("mx") - 1)).as("k"))
+    val nk = ks.join(dh, dh("deg") > ks("k"))
+      .groupBy("k").agg(sum(col("n")).as("n_k"))
+    val ek = ks.join(mh, mh("m") > ks("k"))
+      .groupBy("k").agg(sum(col("n")).as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .filter(col("n_k") >= 2)
+      .select(col("k"), col("n_k"), coalesce(col("e_k"), lit(0L)).as("e_k"),
+        round(coalesce(col("e_k"), lit(0L)) * 2.0
+          / (col("n_k") * (col("n_k") - 1)), 6).as("phi"))
+  }
 }

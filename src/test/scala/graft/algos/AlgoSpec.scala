@@ -605,4 +605,112 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     val one = labels.select(col("id"), lit(7L).as("label"))
     assert(GraphStats.modularity(es, one).collect()(0).getDouble(0) == 0.0)
   }
+
+  test("GraphStats: s_metric, transitivity, rich_club on the triangle+pendant") {
+    // triangle {0,1,2} with pendant 3 on 0: degrees 3,2,2,1
+    val es = sym(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)))
+    // s = 3·2 + 3·2 + 2·2 + 3·1 = 19 over the canonical edges
+    assert(GraphStats.sMetric(es).collect()(0).getLong(0) == 19L)
+    // wedges = Σ C(deg,2) = 3+1+1+0 = 5, triangles = 1 → 3/5
+    val tr = GraphStats.transitivity(es, 4).collect()(0).getDouble(0)
+    assert(math.abs(tr - 0.6) < 1e-12)
+    // k=0: all 4 vertices, 4 edges → 2·4/(4·3); k=1: {0,1,2}, 3 edges → 1;
+    // k=2: N_k=1 → dropped
+    val rc = GraphStats.richClub(es).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rc.keySet == Set(0L, 1L))
+    assert(rc(0L) == ((4L, 4L, 0.666667)))
+    assert(rc(1L) == ((3L, 3L, 1.0)))
+  }
+
+  test("GraphStats: square clustering on cycle+pendant; triangle scores 0") {
+    // 4-cycle 0-1-2-3 with pendant 4 on 0:
+    // v=0 pairs (1,3) q=1 den 1, (1,4)/(3,4) q=0 den 1 each → 1/3
+    // v=1/v=3: pair (0,2) q=1, den = 3+2−1−2 = 2 → 1/2; v=2 → 1; v=4 → 0
+    val es = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 4L)))
+    val got = GraphStats.squareClustering(es, 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 0.333333, 1L -> 0.5, 2L -> 1.0, 3L -> 0.5,
+      4L -> 0.0))
+    // a triangle has pairs but zero squares AND zero denominator → all 0
+    val tri = sym(Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(GraphStats.squareClustering(tri, 4).collect()
+      .forall(_.getDouble(1) == 0.0))
+  }
+
+  test("GraphStats: generalized degree histogram on triangle+pendant") {
+    val es = sym(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)))
+    val got = GraphStats.generalizedDegree(es, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 0: two triangle edges (t=1) + the pendant edge (t=0); 1,2: two each;
+    // 3: one t=0 edge. Σ n_edges per vertex = deg, Σ t·n_edges = 2·tri(v)
+    assert(got == Map((0L, 1L) -> 2L, (0L, 0L) -> 1L, (1L, 1L) -> 2L,
+      (2L, 1L) -> 2L, (3L, 0L) -> 1L))
+  }
+
+  test("TriangleCentrality: two triangles sharing a corner; pendant; tri-free") {
+    // {0,1,2} and {0,3,4}: t = (2,1,1,1,1), t(G)=2; pendant 5 on 1.
+    // TC(0) = (3·4 − 2·4 + 2)/6 = 1; TC(1) = (3·(2+1+0) − 2·3 + 1)/6 = 2/3
+    // (pendant contributes t(5)=0); TC(3) = (3·(2+1) − 2·3 + 1)/6 = 2/3;
+    // TC(5) = (3·t(1) − 0 + 0)/6 = 1/2 (its one neighbor is reached un-cut)
+    val es = sym(Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (0L, 3L), (0L, 4L), (3L, 4L), (1L, 5L)))
+    val got = TriangleCentrality.run(es, 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 6)
+    assert(got(0L) == 1.0)
+    assert(got(1L) == 0.666667)
+    assert(got(2L) == 0.666667)
+    assert(got(3L) == 0.666667)
+    assert(got(4L) == 0.666667)
+    assert(got(5L) == 0.5)
+    // triangle-free graph: all zero (t(G)=0 guard, no NaN/div-by-zero)
+    val path = sym(Seq((0L, 1L), (1L, 2L)))
+    assert(TriangleCentrality.run(path, 4).collect()
+      .forall(_.getDouble(1) == 0.0))
+  }
+
+  test("Eigenvector centrality: driver-computed (I+Aᵀ)^k recurrence, L2-normed") {
+    // directed pr-demo graph; 5 unnormalized rounds then one L2 norm must
+    // equal the per-round-normalized textbook loop (linearity)
+    val n = 5
+    val adj = Adjacency.build(prEdges.toDF("src", "dst"), n, 4)
+    val got = Eigenvector.run(spark, adj, maxIter = 5).scores.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var x = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to 5) {
+      val nx = x.clone()
+      prEdges.foreach { case (s, d) => nx(d.toInt) += x(s.toInt) }
+      val nrm = math.sqrt(nx.map(v => v * v).sum)
+      x = nx.map(_ / nrm) // normalizing every round — directions must agree
+    }
+    (0 until n).foreach { i =>
+      assert(math.abs(got(i.toLong) - x(i)) < 1e-12,
+        s"vertex $i: got ${got(i.toLong)}, want ${x(i)}")
+    }
+    // ‖result‖₂ = 1
+    assert(math.abs(got.values.map(v => v * v).sum - 1.0) < 1e-12)
+  }
+
+  test("min_plus power APSP: 0-diagonal square accumulates 4-hop distances") {
+    import graft.core.{GrbMatrix, GrbShape, Ops}
+    import graft.core.Extras._
+    // 0→1→2→3→4 chain (w=1 each) plus the expensive shortcut 0→4 (w=10):
+    // within 4 hops d(0,4) = 4, not 10; d(0,3)=3; no path 4→0
+    val w = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (0L, 4L, 10.0)).toDF("src", "dst", "v")
+    val dm = GrbMatrix(
+      w.unionByName(spark.range(5).select(col("id").as("src"),
+          col("id").as("dst"), lit(0.0).as("v")))
+        .groupBy("src", "dst").agg(min(col("v")).as("v")),
+      GrbShape(5, 5))
+    val d4 = dm.power(4, Ops.semirings("min_plus")).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(d4((0L, 4L)) == 4.0)
+    assert(d4((0L, 3L)) == 3.0)
+    assert(d4((1L, 4L)) == 3.0)
+    assert(d4.keys.forall { case (s, t) => s <= t }) // DAG: no backward pairs
+    assert((0 to 4).forall(i => d4((i.toLong, i.toLong)) == 0.0))
+  }
 }
