@@ -299,6 +299,11 @@ object SparkEntry {
     "generalized_degree" -> ((s, d) =>
       GraphStats.generalizedDegree(edgesGSym(s, d), parts(s))),
 
+    "maximal_matching" -> ((s, d) =>
+      // bounded-round deterministic operator (the MIS convention: maxRounds
+      // here == matchingSql's unroll; the dense expander drains in ~5)
+      Matching.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).matching),
+
     "eigenvector_centrality" -> ((s, d) => {
       // 5 power-iteration rounds of x ← (I+Aᵀ)x, L2-normalized once at the
       // end (linearity — see Eigenvector Scaladoc); fixed rounds so the
@@ -1182,6 +1187,8 @@ object SparkEntry {
     "ktruss" -> ktrussSql(16, 3),
 
     "mis" -> misSql(8),
+
+    "maximal_matching" -> matchingSql(8),
 
     "coloring" -> coloringSql(8),
 
@@ -2488,6 +2495,38 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"""WITH e0 AS MATERIALIZED ($sqlEdgesSym),
        |rem0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
+       |$steps
+       |$un""".stripMargin
+  }
+
+  /** R unrolled Israeli–Itai matching rounds — the exact Matching.run
+    * recurrence: per round an edge wins iff its (p, src, dst) tuple is the
+    * row_number-1 minimum at BOTH endpoints (it then appears twice with
+    * rn = 1), matched endpoints' edges leave. */
+  private def matchingSql(rounds: Int): String = {
+    val m = graft.pipeline.Sampling.M
+    val steps = (1 to rounds).map { rr =>
+      val a = graft.pipeline.Sampling.saltedMultiplier(2L * rr - 1)
+      val b = graft.pipeline.Sampling.saltedMultiplier(2L * rr)
+      s"""pk$rr AS (SELECT src, dst,
+         |    (src % $m * $a % $m + dst % $m * $b % $m) % $m AS p
+         |  FROM e${rr - 1}),
+         |ex$rr AS (SELECT v, src, dst, row_number() OVER (
+         |    PARTITION BY v ORDER BY p, src, dst) AS rn FROM (
+         |    SELECT src AS v, src, dst, p FROM pk$rr
+         |    UNION ALL SELECT dst AS v, src, dst, p FROM pk$rr)),
+         |win$rr AS MATERIALIZED (SELECT src, dst FROM ex$rr WHERE rn = 1
+         |  GROUP BY src, dst HAVING count(*) = 2),
+         |mv$rr AS (SELECT src AS v FROM win$rr UNION SELECT dst FROM win$rr),
+         |e$rr AS MATERIALIZED (SELECT e.src, e.dst FROM e${rr - 1} e
+         |  WHERE e.src NOT IN (SELECT v FROM mv$rr)
+         |    AND e.dst NOT IN (SELECT v FROM mv$rr))""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to rounds).map(rr =>
+      s"SELECT src, dst, CAST($rr AS BIGINT) AS round FROM win$rr")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM ($sqlEdgesSym) WHERE src < dst),
        |$steps
        |$un""".stripMargin
   }

@@ -693,6 +693,53 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got.values.map(v => v * v).sum - 1.0) < 1e-12)
   }
 
+  test("Matching: disjoint, maximal at fixpoint, driver-replayable, layout-free") {
+    import graft.pipeline.Sampling
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
+      (1L, 3L), (5L, 6L))
+    val es = sym(und)
+    val got = Matching.run(spark, es, 4, maxRounds = 16).matching.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairwise endpoint-disjoint
+    val endpoints = got.toSeq.flatMap(e => Seq(e._1, e._2))
+    assert(endpoints.distinct.size == endpoints.size)
+    // maximal: every edge is matched or touches a matched vertex
+    val epSet = endpoints.toSet
+    und.foreach { case (u, v) =>
+      assert(got.contains((u, v)) || epSet(u) || epSet(v)) }
+    // the isolated edge {5,6} must always match in round 1
+    assert(got.contains((5L, 6L)))
+    // exact driver replay of the salted recurrence
+    val M = Sampling.M
+    var live = und
+    var want = Set.empty[(Long, Long)]
+    var r = 0
+    val ord = implicitly[Ordering[(Long, Long, Long)]]
+    while (live.nonEmpty && r < 16) {
+      r += 1
+      val a = Sampling.saltedMultiplier(2L * r - 1)
+      val b = Sampling.saltedMultiplier(2L * r)
+      def key(e: (Long, Long)) =
+        ((e._1 % M * a % M + e._2 % M * b % M) % M, e._1, e._2)
+      val minAt = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      live.foreach { e =>
+        val k = key(e)
+        Seq(e._1, e._2).foreach { v =>
+          if (!minAt.contains(v) || ord.lt(k, minAt(v))) minAt(v) = k
+        }
+      }
+      val sel = live.filter(e => minAt(e._1) == key(e) && minAt(e._2) == key(e))
+      want ++= sel
+      val mv = sel.flatMap(e => Seq(e._1, e._2)).toSet
+      live = live.filterNot(e => mv(e._1) || mv(e._2))
+    }
+    assert(got == want)
+    // partition-layout independence
+    val again = Matching.run(spark, es.repartition(7), 3, maxRounds = 16)
+      .matching.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
+
   test("min_plus power APSP: 0-diagonal square accumulates 4-hop distances") {
     import graft.core.{GrbMatrix, GrbShape, Ops}
     import graft.core.Extras._
