@@ -143,4 +143,32 @@ object KernelPropertySpec extends Properties("Kernels") {
         got == want.toSet
       }
     }
+
+  property("maximal matching: endpoint-disjoint and maximal on random graphs") =
+    forAll(Gen.mapOf(for {
+      i <- Gen.chooseNum(0L, 8L); j <- Gen.chooseNum(i + 1, 9L)
+    } yield ((i, j), ()))) { und0 =>
+      import spark.implicits._
+      val und = und0.keys.toSeq
+      und.isEmpty || {
+        val sym = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+        val got = graft.algos.Matching.run(spark, sym, 3, maxRounds = 32)
+          .matching.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val eps = got.toSeq.flatMap(e => Seq(e._1, e._2))
+        val epSet = eps.toSet
+        // disjoint (no endpoint repeats) AND maximal (every live edge blocked)
+        eps.distinct.size == eps.size &&
+          und.forall { case (u, v) => got((u, v)) || epSet(u) || epSet(v) }
+      }
+    }
+
+  property("triangle centrality of a clique is 1 everywhere") =
+    forAll(Gen.chooseNum(3, 6)) { n =>
+      import spark.implicits._
+      val es = for { u <- 0 until n; v <- 0 until n if u != v }
+        yield (u.toLong, v.toLong)
+      val got = graft.algos.TriangleCentrality.run(es.toDF("src", "dst"), 3)
+        .collect().map(_.getDouble(1))
+      got.length == n && got.forall(_ == 1.0)
+    }
 }
