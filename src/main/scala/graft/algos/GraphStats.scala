@@ -250,11 +250,11 @@ object GraphStats {
     e.count()
     try {
       val supC = KTruss.supportCanon(e, numPartitions)
-      // symmetrize support onto each endpoint; non-triangle edges get t=0
+      // symmetrize support onto each endpoint (supportCanon rows are already
+      // canonical src < dst); non-triangle edges get t = 0
       val perEdge = e
-        .join(supC.df.select(
-            least(col("src"), col("dst")).as("_u"),
-            greatest(col("src"), col("dst")).as("_v"), col("sup")),
+        .join(supC.df.select(col("src").as("_u"), col("dst").as("_v"),
+            col("sup")),
           least(col("src"), col("dst")) === col("_u")
             && greatest(col("src"), col("dst")) === col("_v"), "left")
         .select(col("src").as("id"), coalesce(col("sup"), lit(0L)).as("t"))

@@ -39,8 +39,11 @@ object TriangleCentrality {
     e.count()
     try {
       val (triPlan, o) = KTruss.orientedTriangles(e, numPartitions)
-      // tri feeds three branches (corners, triangle edges, t(G)) — one scan
+      // tri feeds three branches (corners, triangle edges, t(G)) — one scan;
+      // the oriented state is consumed by this materialization and released
+      // immediately (the supportCanon discipline)
       val triS = Ckpt.materialize(triPlan)
+      o.release()
       val tri = triS.df
 
       // t(v): each triangle counts once at each of its three corners
@@ -82,7 +85,7 @@ object TriangleCentrality {
             (lit(3) * coalesce(col("at"), lit(0L))
               - lit(2) * coalesce(col("tt"), lit(0L)) + col("t"))
               .cast("double") / (lit(3.0) * col("tg")), 6)).as("tc")))
-      triS.release(); o.release()
+      triS.release()
       out.df // |V| rows — blocks back the returned frame, session-scoped
     } finally e.unpersist(false)
   }
