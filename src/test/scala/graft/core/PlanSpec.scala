@@ -113,6 +113,45 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("Eigenvector iteration rides the same zero-exchange loop as PageRank " +
+    "(one dst-agg exchange, no adjacency re-sort)") {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    GraftSqlShims.captureMaterializedPlans = true
+    try {
+      val e = (0 until 400).map(i => ((i % 57).toLong, ((i * 13 + 5) % 57).toLong))
+        .filter { case (s, d) => s != d }.toDF("src", "dst").distinct()
+      val adj = graft.graph.Adjacency.build(e, 57,
+        spark.sessionState.conf.numShufflePartitions)
+      try {
+        graft.algos.Eigenvector.run(spark, adj, maxIter = 2)
+        val last = GraftSqlShims.lastMaterializedPlan.get
+        def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+          case q: QueryStageExec => nodes(q.plan)
+          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case other => other.children.flatMap(nodes)
+        })
+        val all = nodes(last)
+        val exchanges = all.collect { case x: ShuffleExchangeLike => x }
+        assert(exchanges.size == 1,
+          s"expected exactly the dst-agg exchange, got ${exchanges.size}:\n$last")
+        val adjResort = all.collect { case s: SortExec => s }.exists(s =>
+          nodes(s).exists(_.isInstanceOf[InMemoryTableScanExec]))
+        assert(!adjResort, s"adjacency re-sorted per iteration:\n$last")
+      } finally adj.unpersist()
+    } finally {
+      GraftSqlShims.captureMaterializedPlans = false
+      GraftSqlShims.lastMaterializedPlan = None
+      spark.conf.set(key, old)
+    }
+  }
+
   test("ewise filters push below the join (predicate pushdown intact)") {
     val a = Seq((1L, 2.0), (2L, -3.0)).toDF("id", "v")
     val b = Seq((1L, 5.0)).toDF("id", "v")
