@@ -68,12 +68,15 @@ object SCC {
       val e = eState.df
       val verts = vState.df
       // ---- 1. trim: no in-edge or no out-edge => singleton SCC ----------
-      val hasIn = e.select(col("dst").as("id")).distinct()
-      val hasOut = e.select(col("src").as("id")).distinct()
-      val trimmed = verts
-        .join(hasIn, Seq("id"), "left_anti")
-        .unionByName(verts.join(hasOut, Seq("id"), "left_anti"))
-        .distinct()
+      // ONE tagged-endpoint aggregation + one join replaces the former two
+      // distincts + two anti-joins + union-distinct (5 shuffles → 2 per
+      // round); a vertex absent from the edge set entirely (possible after
+      // peeling) lands in the null branch and is trimmed like before
+      val endTags = e.select(col("src").as("id"), lit(1).as("_o"), lit(0).as("_i"))
+        .unionByName(e.select(col("dst").as("id"), lit(0).as("_o"), lit(1).as("_i")))
+        .groupBy("id").agg(max(col("_o")).as("_o"), max(col("_i")).as("_i"))
+      val trimmed = verts.join(endTags, Seq("id"), "left")
+        .filter(col("_o").isNull || col("_o") === 0 || col("_i") === 0)
         .select(col("id"), col("id").as("scc"))
 
       // ---- 2. forward min-coloring (accelerated fixpoint) ---------------
