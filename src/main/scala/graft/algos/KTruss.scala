@@ -95,38 +95,75 @@ object KTruss {
           numPartitions: Int, maxRounds: Int = 16): KTrussResult = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     val minSup = k - 2
-    // all loop state lives in flat Ckpt rewraps: each round's support plan
-    // references the edge state ~6× (deg + canon×2 + wedge self-join), so
-    // raw lineage would grow ~6^rounds (observed: AQE explain-string OOM by
-    // round 4 on an 8-vertex fixture) — same finding as SCC, pinned there
-    var cur = Ckpt.materialize(edgesSym.select(col("src"), col("dst"))
-      .repartition(numPartitions, col("src")))
-    var nEdges = cur.df.count()
+    // Orient ONCE by the round-0 (deg, id) order. Any FIXED total order on
+    // vertices enumerates each triangle exactly once at its minimum corner,
+    // and per-edge support counts triangles in the CURRENT edge set
+    // regardless of orientation — so the peel rounds reuse the stale
+    // orientation and skip the former per-round degree aggregation + two
+    // orientation joins (3 shuffles/round). The wedge fan-out bound only
+    // degrades toward the ORIGINAL graph's O(√E) corner, which is what
+    // round 1 paid anyway. Loop state lives in flat Ckpt rewraps (lineage
+    // growth — same finding as SCC, pinned there).
+    val canon0 = edgesSym.filter(col("src") < col("dst"))
+    val deg0 = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val lowFirst = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    var o = Ckpt.materialize(canon0
+      .join(deg0.select(col("id").as("src"), col("deg").as("ds")), "src")
+      .join(deg0.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+      .select(
+        when(lowFirst, col("src")).otherwise(col("dst")).as("lo"),
+        when(lowFirst, col("dst")).otherwise(col("src")).as("hi"))
+      .repartition(numPartitions, col("lo")))
+    var nEdges = o.df.count() // CANONICAL count (half the symmetric one)
     var rounds = 0
     var converged = nEdges == 0L
-    var result = cur.df.withColumn("sup", lit(0L)).limit(0)
+    var result = edgesSym.select(col("src"), col("dst"))
+      .withColumn("sup", lit(0L)).limit(0)
+    var lastKept: CkptState = null
     while (!converged && rounds < maxRounds) {
-      // a thin projection over the flat cached plan — the ~6 references
-      // inside supportCanon all re-scan the SAME cached leaf, depth O(1)
-      val edges = cur.df.select(col("src"), col("dst"))
-      val supC = supportCanon(edges, numPartitions)
-      val kept = supC.df.filter(col("sup") >= minSup)
-      // symmetrize: support is symmetric, computed once per undirected edge
-      val next = Ckpt.materialize(kept.unionByName(
-          kept.select(col("dst").as("src"), col("src").as("dst"), col("sup")))
-        .repartition(numPartitions, col("src")))
-      val n2 = next.df.count()
-      cur.release() // result_{r-1} shared these blocks; it's replaced below
-      supC.release()
-      cur = next
-      result = next.df
+      val od = o.df
+      // wedges at the oriented min corner, closed by the canonical edge
+      // {b, c} (b < c holds because both are `hi` endpoints of the same lo)
+      val w = od.select(col("lo"), col("hi").as("b"))
+        .join(od.select(col("lo"), col("hi").as("c")), Seq("lo"))
+        .filter(col("b") < col("c"))
+      val canon = od.select(least(col("lo"), col("hi")).as("cs"),
+        greatest(col("lo"), col("hi")).as("cd"))
+      val tri = w.join(canon, col("b") === col("cs") && col("c") === col("cd"))
+        .select(col("lo").as("a"), col("b"), col("c"))
+      // scatter +1 to the three canonical edges; edges on no triangle have
+      // no row and drop implicitly (minSup >= 1)
+      val kept = Ckpt.materialize(
+        tri.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+          .unionAll(tri.select(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")))
+          .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= minSup)
+          .select(col("u").as("src"), col("v").as("dst"), col("sup")))
+      val keptDf = kept.df
+      val newO = Ckpt.materialize(od.join(keptDf,
+          least(col("lo"), col("hi")) === keptDf("src")
+            && greatest(col("lo"), col("hi")) === keptDf("dst"), "left_semi")
+        .repartition(numPartitions, col("lo")))
+      val n2 = newO.df.count()
+      o.release()
+      if (lastKept != null) lastKept.release()
+      o = newO
+      lastKept = kept
+      // symmetrize for the result view: support is symmetric, computed once
+      // per undirected edge
+      result = kept.df.unionByName(kept.df.select(
+        col("dst").as("src"), col("src").as("dst"), col("sup")))
       // monotone: equal count ⇒ equal set; empty ⇒ every further round is
       // empty (both cases bit-identical to any larger unroll)
       converged = n2 == nEdges || n2 == 0L
       nEdges = n2
       rounds += 1
     }
-    // the final round's blocks stay cached: `result` is read from them
+    o.release()
+    // the final round's kept blocks stay cached: `result` is read from them
     KTrussResult(result, rounds)
   }
 }
