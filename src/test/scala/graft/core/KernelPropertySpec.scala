@@ -162,6 +162,38 @@ object KernelPropertySpec extends Properties("Kernels") {
       }
     }
 
+  property("KTruss(k=3) fixpoint == driver peel on random graphs") =
+    forAll(Gen.mapOf(for {
+      i <- Gen.chooseNum(0L, 8L); j <- Gen.chooseNum(i + 1, 9L)
+    } yield ((i, j), ()))) { und0 =>
+      import spark.implicits._
+      val und = und0.keys.toSeq
+      und.isEmpty || {
+        val sym = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+        val got = graft.algos.KTruss.run(spark, sym, 3, 3, maxRounds = 32)
+          .truss.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        // driver peel: keep edges on >= k-2 = 1 triangle, to fixpoint
+        var edges = und.toSet
+        var stable = false
+        var sup = Map.empty[(Long, Long), Int]
+        while (!stable) {
+          val nbr = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+            .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+          sup = edges.iterator.map { case (u, v) =>
+            (u, v) -> (nbr(u) & nbr(v)).size
+          }.toMap
+          val kept = edges.filter(e => sup(e) >= 1)
+          stable = kept == edges
+          edges = kept
+        }
+        val want = edges.flatMap { case (u, v) =>
+          Seq((u, v) -> sup((u, v)).toLong, (v, u) -> sup((u, v)).toLong)
+        }.toMap
+        got == want
+      }
+    }
+
   property("triangle centrality of a clique is 1 everywhere") =
     forAll(Gen.chooseNum(3, 6)) { n =>
       import spark.implicits._
