@@ -10,10 +10,31 @@ import graft.algos.PageRank
   * the synthetic web graph (pages → href edges → CSR adjacency → pagerank).
   * Prints ONE JSON line. See BENCH/BASELINE.md for the two-parallelism
   * scaling protocol (graft.ScalingBench).
+  *
+  * WALL-BUDGET DISCIPLINE (round 5): the r4 artifact recorded rc=124 —
+  * the driver's external timeout killed sbt mid-query-phase while the
+  * scaling gate was PASSING in the unrecorded stderr tail (median paired
+  * 2→8 = 0.820). Four rounds of protocol growth (scaling-first, longer
+  * trials, MemProbe, warm-ups) made one 5-trial/4-iter/10M-page pass ≈
+  * 40 min of timed legs alone. Round 5 makes the bench fit the budget:
+  *   (1) scaling defaults drop to 6M pages (60M edges — 6× the ≥10⁷-edge
+  *       protocol floor, BASELINE.md) × 3 iters × 4 trials: same paired
+  *       estimator, ~2.5× less timed-leg wall;
+  *   (2) an INTERNAL deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default
+  *       2700) with a scaling sub-budget (SPARK_GRAFT_SCALING_BUDGET_SEC,
+  *       default 1200) truncates remaining trials/queries and ships what
+  *       was measured instead of dying to an external SIGKILL;
+  *   (3) the scaling JSON is printed to stdout THE MOMENT the phase
+  *       completes, so even a later kill leaves the gate number in the
+  *       driver's 2000-char tail.
   */
 object Bench {
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2700").toDouble
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     new java.io.File("/dev/shm/graft-spark").mkdirs()
@@ -30,19 +51,29 @@ object Bench {
     // high-core windows while the 2-core leg, running last, caught a clean
     // one. Fresh-process-first matches the standalone validation runs
     // (D/E/G: 0.865/0.906/0.978) that the in-artifact estimator kept
-    // missing. Timed trials are 4 iterations (was 2): the per-session init
-    // is only ~1-2.5s fixed (PhaseProbe), so longer trials change no
-    // per-iteration economics — they just average each sample over a wider
-    // host-noise window, stabilizing the per-level minimum.
-    // SPARK_GRAFT_SCALING=0 skips.
+    // missing. SPARK_GRAFT_SCALING=0 skips.
     // (verbose-for-detail-file, compact-for-stdout) — the stdout line lives
     // inside the driver's ~2000-char tail; per-leg load/probe arrays and any
     // contention-retry discarded pass only ship in BENCH/bench_detail.json
     val (scalingJsonFull, scalingJsonCompact) =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "0") ("[]", "[]")
       else try {
-        val nP = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAGES", "10000000").toLong
-        val iters = sys.env.getOrElse("SPARK_GRAFT_SCALING_ITERS", "4").toInt
+        // 6M pages → 60M edges (the generator emits 10 hrefs/page): still
+        // 6× the ≥10⁷-edge protocol floor while cutting every timed leg
+        // ~40% vs the r4 10M default whose full pass no longer fit the
+        // driver's wall clock. 3 iterations (was 4): per-session fixed cost
+        // is ~1-2.5 s (PhaseProbe) against a ≥25 s shortest timed leg, so
+        // the per-iteration economics are unchanged.
+        val nP = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAGES", "6000000").toLong
+        val iters = sys.env.getOrElse("SPARK_GRAFT_SCALING_ITERS", "3").toInt
+        val scalingBudget =
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "1200").toDouble
+        // the scaling phase may spend at most its own sub-budget AND must
+        // leave ~900 s of the overall deadline for the query + webgraph
+        // phases (measured round 4: queries ~460 s burst-hit + webgraph
+        // ~90 s + adjacency/report overhead)
+        val scalingDeadline = benchT0 +
+          (math.min(scalingBudget, deadlineSec - 900) * 1e9).toLong
         val adjPath = ScalingBench.ensureAdjacency(nP)
         // interleaved trials behind one DISCARDED warm-up pass per level
         // (first visits run 1.5-2.5× slow: JIT + allocator ramp). Headline
@@ -51,14 +82,16 @@ object Bench {
         // rounds-1-3 per-level-minimum ratio stays in the JSON as
         // efficiency_minratio — see ScalingBench.PairResult + BENCH/BASELINE
 
-        val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt
+        val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "4").toInt
         val warmup = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUP", "1").toInt
         // one full protocol pass →
         // (verbose pairs JSON, compact pairs JSON, 2→8 efficiency, median membw)
-        case class Pass(full: String, compact: String, eff: Double, membw: Double)
+        case class Pass(full: String, compact: String, eff: Double,
+                        membw: Double, trialsDone: Int)
         def runPass(passTrials: Int): Pass = {
           val levels = ScalingBench.measureLevels(adjPath, nP, Seq(2, 8, 32),
-            iters = iters, trials = passTrials, warmup = warmup)
+            iters = iters, trials = passTrials, warmup = warmup,
+            deadlineNanos = scalingDeadline)
           val nE = ScalingBench.lastEdges
           def pr(lo: Int, hi: Int) = ScalingBench.PairResult(
             nP, nE, iters, lo, hi, levels(lo), levels(hi),
@@ -74,14 +107,30 @@ object Bench {
             else if (probes.size % 2 == 1) probes(probes.size / 2)
             else (probes(probes.size / 2 - 1) + probes(probes.size / 2)) / 2
           Pass(s"${p28.json},${p832.json}",
-            s"${p28.jsonCompact},${p832.jsonCompact}", p28.efficiency, med)
+            s"${p28.jsonCompact},${p832.jsonCompact}", p28.efficiency, med,
+            levels(2).size)
         }
+        val pass1T0 = System.nanoTime()
         val pass1 = runPass(trials)
+        val pass1Sec = (System.nanoTime() - pass1T0) / 1e9
+        // a retry pass (3 trials, no extra warm-up economics change) costs
+        // roughly pass1 scaled by its trial count; skip it when that would
+        // blow the scaling deadline — a recorded sub-gate number beats an
+        // unrecorded perfect one (the entire r1-r4 lesson)
+        val retryEstSec = pass1Sec * (3.0 + warmup) / (pass1.trialsDone + warmup)
+        val retryFits = elapsedSec + retryEstSec * 0.9 <
+          (scalingDeadline - benchT0) / 1e9
         val scalingOut =
           if (pass1.eff >= 0.80 ||
               sys.env.getOrElse("SPARK_GRAFT_SCALING_RETRY", "1") == "0")
             (s"[${pass1.full}]", s"[${pass1.compact}]")
-          else {
+          else if (!retryFits) {
+            System.err.println(
+              f"[scaling] pass-1 efficiency ${pass1.eff}%.3f < 0.80 but a retry " +
+                f"(~$retryEstSec%.0f s) no longer fits the scaling budget — shipping pass 1")
+            val meta = f"""{"protocol":"contention_retry","picked_pass":1,"pass1_eff":${pass1.eff}%.3f,"pass1_membw_gbps":${pass1.membw}%.1f,"retry":"skipped_budget"}"""
+            (s"[${pass1.full},$meta]", s"[${pass1.compact},$meta]")
+          } else {
             // Contention retry (Run R, BENCH/BASELINE.md): a sustained
             // DRAM-consuming neighbor outside this VM starves the high-core
             // legs super-proportionally and no estimator can remove that
@@ -95,10 +144,9 @@ object Bench {
             System.err.println(
               f"[scaling] pass-1 efficiency ${pass1.eff}%.3f < 0.80 gate at " +
                 f"median membw ${pass1.membw}%.1f GB/s — re-running the protocol once")
-            // the retry pass runs min(trials, 3): a 5-trial pass is ~40 min
-            // wall (run T) and the median of 3 paired ratios still tolerates
-            // one bad trial — bounding Bench's worst case matters more than
-            // the extra two samples
+            // the retry pass runs min(trials, 3): the median of 3 paired
+            // ratios still tolerates one bad trial — bounding Bench's worst
+            // case matters more than the extra samples
             val pass2 = runPass(math.min(trials, 3))
             val pick1 = pass1.membw >= pass2.membw
             val (kept, dropped, idx) =
@@ -128,6 +176,14 @@ object Bench {
           ("[]", "[]")
       }
 
+    // Ship the gate number NOW: this line is complete, parseable JSON on its
+    // own, so if anything later in the run is killed, the driver's tail
+    // still carries the scaling result (the final full line supersedes it
+    // when the run completes). r1-r4 all lost this number to late kills or
+    // tail truncation.
+    println(s"""{"metric":"scaling_phase","unit":"efficiency","scaling":$scalingJsonCompact}""")
+    System.out.flush()
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -140,15 +196,43 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // query phase must leave ~300 s for the webgraph headline + report
+    val queryDeadlineSec = deadlineSec - 300
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    var skipped = List.empty[String]
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (elapsedSec > queryDeadlineSec) { skipped ::= name; None }
+      else {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        Some(name -> (System.nanoTime() - t0) / 1e9)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+    if (skipped.nonEmpty)
+      System.err.println(s"[bench] deadline: skipped ${skipped.size} queries")
+    // Slow-tail retiming (VERDICT r4 item 6): the ≥10 s queries are the ones
+    // every round's plan audit reads, and a single host-noise burst in one
+    // window has repeatedly distorted them (run X: bowtie 56.9 s vs 15.6 s
+    // cold min-of-3). Re-time the slowest ≤10 once more, budget permitting,
+    // and record the per-query MIN — the same hygiene the webgraph headline
+    // and the scaling legs already use.
+    val retimes = scala.collection.mutable.Map.empty[String, Double]
+    firstPass.filter(_._2 >= 10.0).sortBy(-_._2).take(10).foreach { case (name, t1) =>
+      if (elapsedSec + t1 * 1.2 < queryDeadlineSec && !failed.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          retimes(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] retime $name FAILED: ${e.getMessage}") }
+      }
+    }
+    val results = firstPass.map { case (name, t) =>
+      name -> math.min(t, retimes.getOrElse(name, t))
     }
 
     // headline: PageRank throughput on the synthetic web graph. Sized from
@@ -169,15 +253,23 @@ object Bench {
     val adj = Adjacency.build(edges, nPages, cpus.toInt)
     val tBuild = (System.nanoTime() - tg0) / 1e9
     // min of 2 timed runs (the first doubles as the other's warm-up): the
-    // headline was the ONE remaining single-shot timing in Bench, and it
-    // runs last — a host-noise burst in that window halved the recorded
-    // r4-rehearsal number (12.8s vs 6.1s for identical code). Same
-    // min-of-trials hygiene as the scaling protocol.
-    val (tPr, pr) = (1 to 2).map { _ =>
+    // headline runs last — a host-noise burst in that window halved the
+    // recorded r4-rehearsal number (12.8 s vs 6.1 s for identical code).
+    // The second run is dropped only if the overall deadline is on top of
+    // us (a one-shot headline beats a SIGKILLed one).
+    val run1 = {
       val tp0 = System.nanoTime()
       val r = PageRank.run(spark, adj, damping = 0.85, tol = 1e-6, maxIter = 50)
       ((System.nanoTime() - tp0) / 1e9, r)
-    }.minBy(_._1)
+    }
+    val (tPr, pr) =
+      if (elapsedSec + run1._1 * 1.2 > deadlineSec - 30) run1
+      else {
+        val tp0 = System.nanoTime()
+        val r = PageRank.run(spark, adj, damping = 0.85, tol = 1e-6, maxIter = 50)
+        val t2 = (System.nanoTime() - tp0) / 1e9
+        if (t2 < run1._1) (t2, r) else run1
+      }
     val edgesPerSec = pr.edgesTraversed / tPr
 
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -197,7 +289,7 @@ object Bench {
     def line(qs: Seq[(String, Double)], omitted: Int, scaling: String): String = {
       val qJson = qs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"queries_total":${results.size},"queries_omitted":$omitted,"detail":"BENCH/bench_detail.json","failed":$failedJson,"sf":"$sfDir",$webgraphJson,"scaling":$scaling}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"queries_total":${results.size},"queries_omitted":$omitted,"queries_skipped":${skipped.size},"detail":"BENCH/bench_detail.json","failed":$failedJson,"sf":"$sfDir",$webgraphJson,"scaling":$scaling}"""
     }
     val detail = line(results.sortBy(_._1), 0, scalingJsonFull)
     try {

@@ -320,10 +320,12 @@ object SparkEntry {
       // then one repeated min_plus squaring — the reference's
       // `min_plus` mxm power recipe (Floyd–Warshall's algebraic core)
       val base = matS(s, d)
+      // diagonal derived from the matrix shape (not a third copy of matS's
+      // modulus) so a fixture change can't silently truncate it
       val dm = GrbMatrix(
         base.df.unionByName(
-            s.range(97).select(col("id").as("src"), col("id").as("dst"),
-              lit(0.0).as("v")))
+            s.range(base.shape.nrows).select(col("id").as("src"),
+              col("id").as("dst"), lit(0.0).as("v")))
           .groupBy("src", "dst").agg(min(col("v")).as("v")),
         base.shape)
       dm.power(4, Ops.semirings("min_plus")).df
@@ -597,6 +599,16 @@ object SparkEntry {
       vec2(s, d).dup(GrbMask.and(a, b, Seq("id"))).df
     }),
 
+    "mask_or" -> ((s, d) => {
+      // mask combination __or__ (`mask.py:87`): keys present in EITHER mask
+      // — the union twin of mask_and (round-5 conversion of the last
+      // test-only mask surface)
+      val a = GrbMask(vec1(s, d).df.select("id"))
+      val b = GrbMask(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("id")))
+      vec2(s, d).dup(GrbMask.or(a, b, Seq("id"))).df
+    }),
+
     "split_concat" -> ((s, d) => {
       // ss.split → ss.concat round trip reassembles the matrix exactly
       // (`core/ss/matrix.py:280`, `ss/_core.py:72`); 49 does not divide 97,
@@ -785,6 +797,12 @@ object SparkEntry {
     "flatten_small" -> ((s, d) => matS(s, d).flatten().df),
 
     "compactify_vec" -> ((s, d) => vec1(s, d).compactify().df),
+
+    // the SCALE path must produce the identical dense renumbering — same
+    // oracle as compactify_vec, through the bucketed/prefix-sum plan (a
+    // deliberately non-dividing bucket count exercises ragged buckets)
+    "compactify_partitioned" -> ((s, d) =>
+      vec1(s, d).compactifyPartitioned(buckets = 7).df),
 
     // ===== dtype contracts: INT64 end-to-end (core.types) =====
     "int64_div_mod" -> ((s, d) => {
@@ -1639,6 +1657,12 @@ object SparkEntry {
          |  AND id IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)"""
         .stripMargin,
 
+    "mask_or" ->
+      s"""SELECT id, v FROM ($sqlV2)
+         |WHERE id IN (SELECT id FROM ($sqlV1))
+         |  OR id IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)"""
+        .stripMargin,
+
     "split_concat" -> s"SELECT src, dst, v FROM ($sqlS)",
 
     "setdiag_vals" ->
@@ -1715,6 +1739,10 @@ object SparkEntry {
       s"SELECT src * 97 + dst AS id, v FROM ($sqlS)",
 
     "compactify_vec" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS id, v
+         |FROM ($sqlV1)""".stripMargin,
+
+    "compactify_partitioned" ->
       s"""SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS id, v
          |FROM ($sqlV1)""".stripMargin,
 

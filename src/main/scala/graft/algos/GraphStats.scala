@@ -197,17 +197,32 @@ object GraphStats {
     * Scale: the wedge table is Σ_v C(deg v, 2) rows — inherent to the
     * definition (every pair at distance 2 must be inspected). Unlike the
     * triangle kernels there is NO orientation trick (wedges are needed at
-    * every center), so hub vertices dominate the cost quadratically:
-    * pre-cap hub degrees (as the Q fixture sparsifies) or accept the
-    * wedge-bound cost. Output (id, sq) for every vertex with an incident
-    * edge, 6 decimals; vertices with no valid pair score 0. */
-  def squareClustering(edgesSym: DataFrame, numPartitions: Int): DataFrame = {
+    * every center), so hub vertices dominate the cost quadratically: at web
+    * scale ONE 10⁶-degree hub is 10¹² wedge rows from a single key.
+    *
+    * Scale guard (`maxCenterDeg`): centers with deg > cap are dropped from
+    * wedge generation BEFORE the self-join — the same df-cap contract as
+    * [[LinkPrediction.adamicAdar]]. Documented bias: a capped hub (a) gets
+    * score 0 itself (no wedges at that center) and (b) stops counting as a
+    * common neighbor in q for the pairs it connects (cn is the wedge-pair
+    * multiplicity, so it only sees surviving centers); ku/kw in the
+    * denominator stay UNcapped — the cap bounds the candidate generator,
+    * not the degree terms. Capped ≡ uncapped whenever max degree ≤ cap.
+    * Output (id, sq) for every vertex with an incident edge (capped hubs
+    * included, at 0), 6 decimals; vertices with no valid pair score 0. */
+  def squareClustering(edgesSym: DataFrame, numPartitions: Int,
+                       maxCenterDeg: Int = Int.MaxValue): DataFrame = {
     val e = edgesSym.select(col("src"), col("dst")).persist()
     e.count()
     try {
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("id"), col("deg"))
-      val nbr = e.select(col("src").as("c"), col("dst").as("u"))
+      val nbrAll = e.select(col("src").as("c"), col("dst").as("u"))
+      val nbr =
+        if (maxCenterDeg == Int.MaxValue) nbrAll
+        else nbrAll.join(
+          deg.filter(col("deg") <= maxCenterDeg).select(col("id").as("c")),
+          Seq("c"), "left_semi")
       val wedges = nbr.join(nbr.withColumnRenamed("u", "w"), Seq("c"))
         .filter(col("u") < col("w"))
         .repartition(numPartitions, col("u"), col("w")).persist()

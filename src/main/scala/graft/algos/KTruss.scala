@@ -44,6 +44,54 @@ final case class KTrussResult(truss: DataFrame, rounds: Int)
   */
 object KTruss {
 
+  /** Build the (deg, id)-oriented edge frame of a symmetric edge set:
+    * one (lo, hi) row per undirected edge, lo the total-order minimum,
+    * hash-partitioned on the wedge pivot `lo` (so the wedge self-join is
+    * zero-exchange). Caller releases the returned state. */
+  private def orientFrame(edgesSym: DataFrame, numPartitions: Int): CkptState = {
+    val canon = edgesSym.filter(col("src") < col("dst"))
+    val deg = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    // orient lo→hi by (deg, id); ids are distinct so the order is total
+    val lowFirst = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    Ckpt.materialize(canon
+      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+      .select(
+        when(lowFirst, col("src")).otherwise(col("dst")).as("lo"),
+        when(lowFirst, col("dst")).otherwise(col("src")).as("hi"))
+      .repartition(numPartitions, col("lo")))
+  }
+
+  /** Wedge-close enumeration over a prebuilt (lo, hi) orientation frame:
+    * each triangle of the frame's underlying canonical edge set exactly
+    * once as (a, b, c) — a the orientation-minimum corner, b < c (which
+    * holds structurally: b and c are both `hi` endpoints of the same lo,
+    * kept one-sided by the filter). The closing edge set is derived from
+    * the frame ITSELF (least/greatest of (lo, hi) is exactly its canonical
+    * form), so the b<c filter and the canonical-closure invariant live in
+    * ONE place for both the fresh enumeration and the stale-orientation
+    * peel loop (ADVICE r4: the two inline copies were a drift risk). */
+  private def trianglesOf(od: DataFrame): DataFrame = {
+    val w = od.select(col("lo"), col("hi").as("b"))
+      .join(od.select(col("lo"), col("hi").as("c")), Seq("lo"))
+      .filter(col("b") < col("c"))
+    val canon = od.select(least(col("lo"), col("hi")).as("cs"),
+      greatest(col("lo"), col("hi")).as("cd"))
+    w.join(canon, col("b") === col("cs") && col("c") === col("cd"))
+      .select(col("lo").as("a"), col("b"), col("c"))
+  }
+
+  /** scatter +1 to each triangle's three canonical edges → per-edge support
+    * (canonical rows; edges on no triangle have no row, so sup >= 1) */
+  private def scatterSupport(tri: DataFrame): DataFrame =
+    tri.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .unionAll(tri.select(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")))
+      .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      .select(col("u").as("src"), col("v").as("dst"), col("sup"))
+
   /** Degree-oriented triangle enumeration: each triangle {a,b,c} of the
     * symmetric edge set exactly ONCE as (a, b, c) with a the (deg,id)-min
     * corner and b < c. Returns (tri, orientationState) — the caller must
@@ -51,28 +99,8 @@ object KTruss {
     * (below) and `TriangleCount.count`. */
   private[algos] def orientedTriangles(edgesSym: DataFrame,
                                        numPartitions: Int): (DataFrame, CkptState) = {
-    val canon = edgesSym.filter(col("src") < col("dst"))
-    val deg = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("id"), col("deg"))
-    // orient lo→hi by (deg, id); ids are distinct so the order is total
-    val o = Ckpt.materialize(canon
-      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
-      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
-      .select(
-        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
-          col("src")).otherwise(col("dst")).as("lo"),
-        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
-          col("dst")).otherwise(col("src")).as("hi"))
-      .repartition(numPartitions, col("lo")))
-    // each triangle {a,b,c} appears exactly once as a wedge b←a→c at its
-    // (deg,id)-minimum corner a, closed by the canonical edge {b,c}
-    val w = o.df.select(col("lo"), col("hi").as("b"))
-      .join(o.df.select(col("lo"), col("hi").as("c")), Seq("lo"))
-      .filter(col("b") < col("c"))
-    val tri = w.join(canon,
-      col("b") === col("src") && col("c") === col("dst"))
-      .select(col("lo").as("a"), col("b"), col("c"))
-    (tri, o)
+    val o = orientFrame(edgesSym, numPartitions)
+    (trianglesOf(o.df), o)
   }
 
   /** exact per-edge triangle support of a symmetric edge set, oriented
@@ -80,13 +108,7 @@ object KTruss {
     * materialized flat CkptState (two plan branches read it downstream). */
   private[graft] def supportCanon(edgesSym: DataFrame, numPartitions: Int): CkptState = {
     val (tri, o) = orientedTriangles(edgesSym, numPartitions)
-    // scatter +1 to the three canonical edges of each triangle
-    val sup = Ckpt.materialize(
-      tri.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-        .unionAll(tri.select(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")))
-        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
-        .select(col("u").as("src"), col("v").as("dst"), col("sup")))
+    val sup = Ckpt.materialize(scatterSupport(tri))
     o.release()
     sup
   }
@@ -104,18 +126,7 @@ object KTruss {
     // degrades toward the ORIGINAL graph's O(√E) corner, which is what
     // round 1 paid anyway. Loop state lives in flat Ckpt rewraps (lineage
     // growth — same finding as SCC, pinned there).
-    val canon0 = edgesSym.filter(col("src") < col("dst"))
-    val deg0 = edgesSym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("id"), col("deg"))
-    val lowFirst = col("ds") < col("dd") ||
-      (col("ds") === col("dd") && col("src") < col("dst"))
-    var o = Ckpt.materialize(canon0
-      .join(deg0.select(col("id").as("src"), col("deg").as("ds")), "src")
-      .join(deg0.select(col("id").as("dst"), col("deg").as("dd")), "dst")
-      .select(
-        when(lowFirst, col("src")).otherwise(col("dst")).as("lo"),
-        when(lowFirst, col("dst")).otherwise(col("src")).as("hi"))
-      .repartition(numPartitions, col("lo")))
+    var o = orientFrame(edgesSym, numPartitions)
     var nEdges = o.df.count() // CANONICAL count (half the symmetric one)
     var rounds = 0
     var converged = nEdges == 0L
@@ -124,24 +135,10 @@ object KTruss {
     var lastKept: CkptState = null
     while (!converged && rounds < maxRounds) {
       val od = o.df
-      // wedges at the oriented min corner, closed by the canonical edge
-      // {b, c} (b < c holds because both are `hi` endpoints of the same lo)
-      val w = od.select(col("lo"), col("hi").as("b"))
-        .join(od.select(col("lo"), col("hi").as("c")), Seq("lo"))
-        .filter(col("b") < col("c"))
-      val canon = od.select(least(col("lo"), col("hi")).as("cs"),
-        greatest(col("lo"), col("hi")).as("cd"))
-      val tri = w.join(canon, col("b") === col("cs") && col("c") === col("cd"))
-        .select(col("lo").as("a"), col("b"), col("c"))
-      // scatter +1 to the three canonical edges; edges on no triangle have
-      // no row and drop implicitly (minSup >= 1)
+      // edges on no triangle have no scatter row and drop implicitly
+      // (minSup >= 1)
       val kept = Ckpt.materialize(
-        tri.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-          .unionAll(tri.select(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")))
-          .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= minSup)
-          .select(col("u").as("src"), col("v").as("dst"), col("sup")))
+        scatterSupport(trianglesOf(od)).filter(col("sup") >= minSup))
       val keptDf = kept.df
       val newO = Ckpt.materialize(od.join(keptDf,
           least(col("lo"), col("hi")) === keptDf("src")

@@ -5,7 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.core.{Ckpt, CkptState}
 import graft.pipeline.Sampling
 
-final case class MISResult(mis: DataFrame, rounds: Int)
+/** `mis` is backed by the per-round winner cache blocks; call `release()`
+  * once the result is consumed so long-lived sessions can free them —
+  * until then `mis` stays valid (same contract as [[MatchingResult]]). */
+final case class MISResult(mis: DataFrame, rounds: Int,
+                           private val states: Seq[CkptState] = Nil) {
+  def release(): Unit = states.foreach(_.release())
+}
 
 /** Maximal independent set — Luby's algorithm (Luby 1986; the GraphBLAS
   * showcase kernel, e.g. LAGraph MIS): per round, every remaining vertex
@@ -40,11 +46,12 @@ object MIS {
         .distinct().repartition(numPartitions, col("id")))
     var e = Ckpt.materialize(edgesSym.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src")))
-    // per-round winner states accumulate (un-released: their blocks back the
-    // returned DataFrame; total size = |MIS|, tiny next to the edge set) and
-    // union ONCE at the end — 3 jobs/round (cand, rem+fused count, edges)
-    // instead of 5: the per-round mis-union job and the separate rem count
-    // measured ~35% of wall time on the sf0.1 fixture
+    // per-round winner states accumulate (their blocks back the returned
+    // DataFrame — total size = |MIS|, tiny next to the edge set — and are
+    // handed to the caller via MISResult.release()) and union ONCE at the
+    // end — 3 jobs/round (cand, rem+fused count, edges) instead of 5: the
+    // per-round mis-union job and the separate rem count measured ~35% of
+    // wall time on the sf0.1 fixture
     val winners = List.newBuilder[(CkptState, Int)]
     var rounds = 0
     while (nRem > 0 && rounds < maxRounds) {
@@ -81,10 +88,11 @@ object MIS {
       nRem = n
     }
     rem.release(); e.release()
-    val mis = winners.result().map { case (c, r) =>
+    val ws = winners.result()
+    val mis = ws.map { case (c, r) =>
       c.df.select(col("id"), lit(r.toLong).as("round"))
     }.reduceOption(_.unionByName(_)).getOrElse(
       { import spark.implicits._; Seq.empty[(Long, Long)].toDF("id", "round") })
-    MISResult(mis, rounds)
+    MISResult(mis, rounds, ws.map(_._1))
   }
 }

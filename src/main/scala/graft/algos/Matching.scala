@@ -5,7 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.core.{Ckpt, CkptState}
 import graft.pipeline.Sampling
 
-final case class MatchingResult(matching: DataFrame, rounds: Int)
+/** `matching` is backed by the per-round winner cache blocks; call
+  * `release()` once the result is consumed (collected/written) so
+  * long-lived sessions can free them — until then `matching` stays valid
+  * (ADVICE r4: the states used to be unreachable from the caller). */
+final case class MatchingResult(matching: DataFrame, rounds: Int,
+                                private val states: Seq[CkptState] = Nil) {
+  def release(): Unit = states.foreach(_.release())
+}
 
 /** Maximal matching — the edge analogue of Luby's MIS (Israeli & Itai 1986;
   * a classic GraphBLAS demo kernel, cf. LAGraph's MaximalMatching): per
@@ -69,11 +76,12 @@ object Matching {
       nE = n
     }
     e.release()
-    val out = winners.result().map { case (c, r) =>
+    val ws = winners.result()
+    val out = ws.map { case (c, r) =>
       c.df.select(col("src"), col("dst"), lit(r.toLong).as("round"))
     }.reduceOption(_.unionByName(_)).getOrElse(
       { import spark.implicits._
         Seq.empty[(Long, Long, Long)].toDF("src", "dst", "round") })
-    MatchingResult(out, rounds)
+    MatchingResult(out, rounds, ws.map(_._1))
   }
 }

@@ -319,6 +319,30 @@ object Ops {
   val ctimes  = BinaryOp("ctimes", (a, b) =>
     Cx(Cx.re(a) * Cx.re(b) - Cx.im(a) * Cx.im(b),
        Cx.re(a) * Cx.im(b) + Cx.im(a) * Cx.re(b)))
+  /** complex true division a·conj(b)/|b|² — named `ctruediv` because the
+    * reference's `cdiv` is its C-STYLE INTEGER division (truncate toward
+    * zero, `operator/binary.py`), already in this catalog. Textbook
+    * formula, not Smith's scaled variant: component magnitudes near
+    * sqrt(DBL_MAX) overflow the |b|² term — acceptable for the analytics
+    * domain here and documented, matching the exactness notes on the other
+    * c-ops. */
+  val ctruediv = BinaryOp("ctruediv", (a, b) => {
+    val den = Cx.re(b) * Cx.re(b) + Cx.im(b) * Cx.im(b)
+    Cx((Cx.re(a) * Cx.re(b) + Cx.im(a) * Cx.im(b)) / den,
+       (Cx.im(a) * Cx.re(b) - Cx.re(a) * Cx.im(b)) / den)
+  })
+  /** complex exp/log/sqrt (principal branches, C99 semantics on the
+    * branch cut: csqrt(-1+0i) = +i) */
+  val cexpOp = UnaryOp("cexp", c =>
+    Cx(exp(Cx.re(c)) * cos(Cx.im(c)), exp(Cx.re(c)) * sin(Cx.im(c))))
+  val clogOp = UnaryOp("clog", c =>
+    Cx(log(hypotOp(Cx.re(c), Cx.im(c))), atan2(Cx.im(c), Cx.re(c))))
+  val csqrtOp = UnaryOp("csqrt", c => {
+    val r = hypotOp(Cx.re(c), Cx.im(c))
+    Cx(sqrt((r + Cx.re(c)) / 2),
+       when(Cx.im(c) < 0, lit(-1.0)).otherwise(lit(1.0))
+         * sqrt((r - Cx.re(c)) / 2))
+  })
   /** complex plus monoid — componentwise sums in one aggregate */
   val cplusMonoid = Monoid("cplus", cplus, Cx(lit(0.0), lit(0.0)),
     c => Cx(sum(Cx.re(c)), sum(Cx.im(c))))
@@ -380,7 +404,7 @@ object Ops {
     ceilOp, floorOp, sinOp, cosOp, tanOp, asinOp, acosOp, atanOp, sinhOp,
     coshOp, tanhOp, asinhOp, acoshOp, atanhOp, log2Op, log10Op, log1pOp,
     exp2Op, expm1Op, cbrtOp, roundOp, truncOp, isnanOp, isinfOp, isfiniteOp,
-    bnot, conjOp, crealOp, cimagOp, cabsOp,
+    bnot, conjOp, crealOp, cimagOp, cabsOp, cexpOp, clogOp, csqrtOp,
     erfOp, erfcOp, lgammaOp, tgammaOp, frexpeOp, frexpxOp)
     .map(u => u.name -> u).toMap
 
@@ -389,7 +413,7 @@ object Ops {
     minBin, maxBin, powOp, eq, ne, gt, lt, ge, le, lor, land, lxor, lxnor,
     cdiv, floordiv, fmod, remainder, bor, band, bxor, bxnor, bget, bset,
     bclr, bshift, atan2Op, hypotOp, ldexpOp, copysign, absfirst, abssecond,
-    rpow, cmplxOp, cplus, cminus, ctimes) ++ positionalBinaries)
+    rpow, cmplxOp, cplus, cminus, ctimes, ctruediv) ++ positionalBinaries)
     .map(b => b.name -> b).toMap
 
   val monoids: Map[String, Monoid] = Seq(

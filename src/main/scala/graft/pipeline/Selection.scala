@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,14 +69,26 @@ object Selection {
     * Ckpt rewrap) and both count joins run SHUFFLED on 62-bit ids: the
     * vocabulary of a web corpus is unbounded, so neither side is
     * broadcast-safe. */
-  def lmBits(docs: DataFrame, k: Double = 0.5): DataFrame = {
-    val occ = occRows(docs)
-    // ONE corpus pass estimates both count families: each occurrence row
-    // explodes to its (u, uid) row plus — when a bigram starts here — its
-    // (b, bid) row. A unionByName of two occ selects would scan (and
-    // window-sort) the corpus twice for the same aggregation.
+  def lmBits(docs: DataFrame, k: Double = 0.5): DataFrame =
+    scoreLm(docs, trainLm(docs), k)
+
+  /** A trained bigram LM: the unigram+bigram count relation
+    * (kind ∈ {u,b}, 62-bit id, count) and the vocabulary size. The counts
+    * ARE the model — vocabulary-sized state, so it stays a DataFrame end to
+    * end (never collected, never broadcast). Persist with [[saveLm]] /
+    * [[loadLm]] so a model trained once on a 100-TB corpus scores later
+    * batches across sessions — the north-rule checkpoint/resume discipline
+    * applied to the pipeline's model state (VERDICT r4 item 4; previously
+    * the counts were rebuilt every session). */
+  final case class LmModel(counts: DataFrame, vocab: Long)
+
+  /** Estimate the model: ONE corpus pass produces both count families —
+    * each occurrence row explodes to its (u, uid) row plus, when a bigram
+    * starts here, its (b, bid) row. A unionByName of two occ selects would
+    * scan (and window-sort) the corpus twice for the same aggregation. */
+  def trainLm(docs: DataFrame): LmModel = {
     val counts = Ckpt.materialize(
-      occ.select(col("doc_id"), explode(
+      occRows(docs).select(col("doc_id"), explode(
           when(col("bid").isNotNull,
             array(struct(lit("u").as("kind"), col("uid").as("id")),
               struct(lit("b").as("kind"), col("bid").as("id"))))
@@ -83,21 +96,52 @@ object Selection {
           .as("f"))
         .select(col("f.kind").as("kind"), col("f.id").as("id"))
         .groupBy("kind", "id").count()).df
-    val vocab = counts.filter(col("kind") === "u").count()
-    val cu = counts.filter(col("kind") === "u")
+    LmModel(counts, counts.filter(col("kind") === "u").count())
+  }
+
+  /** Score `docs` under a (possibly reloaded) model; `k` is the add-k
+    * smoothing applied at SCORE time — the persisted counts are raw. Both
+    * count joins run SHUFFLED on 62-bit ids (unbounded vocabulary — never
+    * broadcast-safe). Out-of-vocabulary tokens/bigrams simply have no count
+    * row; the inner join drops those bigrams from the average, matching the
+    * in-corpus behavior where every occurring id has a row by construction. */
+  def scoreLm(docs: DataFrame, model: LmModel, k: Double = 0.5): DataFrame = {
+    val cu = model.counts.filter(col("kind") === "u")
       .select(col("id").as("uid"), col("count").as("cu"))
-    val cb = counts.filter(col("kind") === "b")
+    val cb = model.counts.filter(col("kind") === "b")
       .select(col("id").as("bid"), col("count").as("cb"))
-    val bits = occ.filter(col("bid").isNotNull)
+    val bits = occRows(docs).filter(col("bid").isNotNull)
       .join(cu, "uid").join(cb, "bid")
       .select(col("doc_id"),
-        ((log(col("cu") + k * vocab) - log(col("cb") + lit(k))) / math.log(2.0))
-          .as("bits"))
+        ((log(col("cu") + k * model.vocab) - log(col("cb") + lit(k)))
+          / math.log(2.0)).as("bits"))
     val perDoc = bits.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"), round(avg(col("bits")), 6).as("lm_bits"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_bits"))
+  }
+
+  /** Persist a trained LM beside the iteration checkpoints' layout:
+    * `<dir>/counts/` (parquet relation) + `<dir>/model.json` (metadata —
+    * vocab size, feature-hash identity so a reload can refuse a model
+    * trained under a different tokenization). */
+  def saveLm(model: LmModel, dir: String): Unit = {
+    model.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/model.json"),
+      s"""{"type":"bigram_lm","vocab":${model.vocab},"features":"shingle62/k=$K"}""")
+  }
+
+  def loadLm(spark: SparkSession, dir: String): LmModel = {
+    val meta = Files.readString(Paths.get(s"$dir/model.json"))
+    require(meta.contains(""""type":"bigram_lm""""),
+      s"$dir/model.json is not a bigram_lm model: $meta")
+    require(meta.contains(s""""features":"shingle62/k=$K""""),
+      s"$dir was trained under a different feature hash: $meta")
+    val vocab = """"vocab":(\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"no vocab field in $dir/model.json")).group(1).toLong
+    LmModel(spark.read.parquet(s"$dir/counts"), vocab)
   }
 
   /** DSIR importance log-weights: features are the unigram+bigram 62-bit
@@ -114,20 +158,34 @@ object Selection {
     * into the weight join. Output (doc_id, n_feats, dsir_logw), one row per
     * raw-corpus document. */
   def dsirWeights(docs: DataFrame, target: DataFrame,
-                  buckets: Int = 4093, k: Double = 0.5): DataFrame = {
-    require(buckets >= 2, "dsirWeights needs >= 2 buckets")
+                  buckets: Int = 4093, k: Double = 0.5): DataFrame =
+    scoreDsir(docs, trainDsir(docs, target, buckets, k))
+
+  /** A trained DSIR model: the λ relation (bucket, lam) — exactly `buckets`
+    * rows by construction (bounded by the PARAMETER, not the data), so it is
+    * always broadcast-safe at score time. Persist with [[saveDsir]] /
+    * [[loadDsir]] to reuse a trained tilt across sessions/corpora. */
+  final case class DsirModel(lambda: DataFrame, buckets: Int)
+
+  /** one scan per use (explode both feature kinds from each occurrence
+    * row), same single-pass shape as lmBits' count estimation */
+  private def feats(d: DataFrame, buckets: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    occRows(d).select(col("doc_id"), explode(
+      when(col("bid").isNotNull,
+        array(pmod(col("uid"), b), pmod(col("bid"), b)))
+        .otherwise(array(pmod(col("uid"), b)))).as("bucket"))
+  }
+
+  /** Estimate λ(b) = ln p̂_target(b) − ln p̂_raw(b): one raw-corpus scan +
+    * one target scan, each collapsing to ≤ `buckets` rows before the
+    * bounded driver-side collect. */
+  def trainDsir(docs: DataFrame, target: DataFrame,
+                buckets: Int = 4093, k: Double = 0.5): DsirModel = {
+    require(buckets >= 2, "trainDsir needs >= 2 buckets")
     val spark = docs.sparkSession
-    // one scan per use (explode both feature kinds from each occurrence
-    // row), same single-pass shape as lmBits' count estimation
-    def feats(d: DataFrame): DataFrame = {
-      val b = lit(buckets.toLong)
-      occRows(d).select(col("doc_id"), explode(
-        when(col("bid").isNotNull,
-          array(pmod(col("uid"), b), pmod(col("bid"), b)))
-          .otherwise(array(pmod(col("uid"), b)))).as("bucket"))
-    }
     def bucketCounts(d: DataFrame): Map[Long, Long] =
-      feats(d).groupBy("bucket").count()
+      feats(d, buckets).groupBy("bucket").count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cr = bucketCounts(docs)
     val ct = bucketCounts(target)
@@ -138,12 +196,37 @@ object Selection {
         math.log((cr.getOrElse(b, 0L) + k) / (nr + k * buckets)))
     }
     import spark.implicits._
-    val lamDf = lam.toDF("bucket", "lam")
-    val perDoc = feats(docs).join(broadcast(lamDf), "bucket")
+    DsirModel(lam.toDF("bucket", "lam"), buckets)
+  }
+
+  /** Weight pass: one corpus scan joined against the broadcast λ table. */
+  def scoreDsir(docs: DataFrame, model: DsirModel): DataFrame = {
+    val perDoc = feats(docs, model.buckets).join(broadcast(model.lambda), "bucket")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_feats"), round(sum(col("lam")), 6).as("dsir_logw"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("dsir_logw"))
+  }
+
+  /** Persist/reload the λ table: `<dir>/lambda/` (parquet) +
+    * `<dir>/model.json` (bucket count + feature-hash identity — a reload
+    * refuses a model whose bucketing or tokenization doesn't match). */
+  def saveDsir(model: DsirModel, dir: String): Unit = {
+    model.lambda.write.mode("overwrite").parquet(s"$dir/lambda")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/model.json"),
+      s"""{"type":"dsir","buckets":${model.buckets},"features":"shingle62/k=$K"}""")
+  }
+
+  def loadDsir(spark: SparkSession, dir: String): DsirModel = {
+    val meta = Files.readString(Paths.get(s"$dir/model.json"))
+    require(meta.contains(""""type":"dsir""""),
+      s"$dir/model.json is not a dsir model: $meta")
+    require(meta.contains(s""""features":"shingle62/k=$K""""),
+      s"$dir was trained under a different feature hash: $meta")
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"no buckets field in $dir/model.json")).group(1).toInt
+    DsirModel(spark.read.parquet(s"$dir/lambda"), buckets)
   }
 }

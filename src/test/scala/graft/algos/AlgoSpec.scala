@@ -639,6 +639,32 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
       .forall(_.getDouble(1) == 0.0))
   }
 
+  test("GraphStats: square clustering hub cap — capped ≡ uncapped below " +
+    "cap; hub center dropped above it") {
+    // capped ≡ uncapped when max degree ≤ cap (cycle+pendant: max deg 3)
+    val es = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 4L)))
+    val base = GraphStats.squareClustering(es, 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val capped = GraphStats.squareClustering(es, 4, maxCenterDeg = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(capped == base)
+    // wheel: 4-cycle {1,2,3,4} + hub 0 adjacent to all four. Hub deg 4,
+    // rim deg 3; cap 3 drops the hub's wedges (its score falls to 0, row
+    // kept) and removes it from cn so rim scores change per the documented
+    // bias — but every rim row still computes (no crash, full coverage).
+    val wheel = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    val full = GraphStats.squareClustering(wheel, 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cap3 = GraphStats.squareClustering(wheel, 4, maxCenterDeg = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full(0L) > 0.0)            // uncapped hub has squares
+    assert(cap3(0L) == 0.0)           // capped hub: no wedges at the center
+    assert(cap3.keySet == full.keySet) // every vertex still has a row
+    // rim pair (1,3): cn drops from {0,2,4}→{2,4} when hub centers vanish
+    assert(cap3(1L) != full(1L))
+  }
+
   test("GraphStats: generalized degree histogram on triangle+pendant") {
     val es = sym(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)))
     val got = GraphStats.generalizedDegree(es, 4).collect()
@@ -738,6 +764,29 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     val again = Matching.run(spark, es.repartition(7), 3, maxRounds = 16)
       .matching.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == got)
+  }
+
+  test("MIS/Matching results expose release(): winner cache blocks freed " +
+    "after the caller consumes the result") {
+    val es = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
+      (5L, 6L)))
+    // track the SET of newly persisted RDD ids, not global counts: the
+    // shared session's ContextCleaner unpersists earlier tests' unreachable
+    // cached relations asynchronously, so absolute counts move underneath us
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
+    val before = ids
+    val m = Matching.run(spark, es, 4, maxRounds = 16)
+    val mRows = m.matching.collect()
+    val mAdded = ids -- before
+    assert(mRows.nonEmpty && mAdded.nonEmpty) // winner states are cached
+    m.release()
+    assert((ids & mAdded).isEmpty) // ...and freed on the caller's schedule
+    val mis = MIS.run(spark, es, numPartitions = 4)
+    assert(mis.mis.collect().nonEmpty)
+    val misAdded = ids -- before
+    assert(misAdded.nonEmpty)
+    mis.release()
+    assert((ids & misAdded).isEmpty)
   }
 
   test("min_plus power APSP: 0-diagonal square accumulates 4-hop distances") {

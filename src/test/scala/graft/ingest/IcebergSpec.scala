@@ -129,6 +129,47 @@ class IcebergSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("schema"))
   }
 
+  test("delete manifests (merge-on-read) are rejected at PLANNING on every " +
+    "read path — current, snapshot-id, as-of — never as silent wrong rows") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val dir = tmpTable()
+    val pages = Pages.synthesize(spark, 40, nSites = 5)
+    val s1 = IcebergLite.append(pages, dir, nowMs = 1000L)
+    // doctor the committed manifest-list: flip its manifest entry to
+    // content=1 — exactly the shape a v2 merge-on-read table (e.g. a real
+    // CC-style table with row-level deletes) would present
+    val mlist = new java.io.File(s"$dir/metadata")
+      .listFiles().filter(_.getName.startsWith("snap-")).head
+    val rdr = new DataFileReader[GenericRecord](
+      mlist, new GenericDatumReader[GenericRecord]())
+    val schema = rdr.getSchema
+    val recs = Iterator.continually(rdr)
+      .takeWhile(_.hasNext).map(_.next(null)).toVector
+    rdr.close()
+    recs.foreach(_.put("content", 1))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, mlist)
+    recs.foreach(w.append)
+    w.close()
+    // drop the Hadoop LocalFileSystem checksum sidecar the original write
+    // left — the doctored bytes would otherwise fail CRC, masking the
+    // contract error under a ChecksumException
+    new java.io.File(mlist.getParent, s".${mlist.getName}.crc").delete()
+    // every read path fails DURING PLANNING with the loud contract message
+    Seq(
+      () => IcebergLite.planFiles(spark, dir),
+      () => IcebergLite.readTable(spark, dir).count(),
+      () => IcebergLite.readTable(spark, dir, snapshotId = Some(s1)).count(),
+      () => IcebergLite.readTable(spark, dir, asOfMs = Some(1500L)).count()
+    ).foreach { path =>
+      assert(intercept[IllegalArgumentException](path())
+        .getMessage.contains("delete manifests"))
+    }
+  }
+
   test("guards: empty partitioned append, unknown filter key, null partition value") {
     val dir = tmpTable()
     val pages = Pages.synthesize(spark, 40, nSites = 5)

@@ -57,6 +57,36 @@ class SelectionSpec extends AnyFunSuite with SparkTest {
     assert(w(1L) == w(23L))
   }
 
+  test("LM + DSIR models round-trip through save/load; scoring a reloaded " +
+    "model is bit-identical; a type-mismatched dir is refused") {
+    val docs = ((1L to 12L).map(i => (i, s"a b c w${i % 5}")) :+
+      (13L, "solo")).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-selmodel").toString
+
+    val lm = Selection.trainLm(docs)
+    Selection.saveLm(lm, s"$dir/lm")
+    val lm2 = Selection.loadLm(spark, s"$dir/lm")
+    assert(lm2.vocab == lm.vocab)
+    val direct = Selection.lmBits(docs)
+    val reloaded = Selection.scoreLm(docs, lm2)
+    assert(direct.exceptAll(reloaded).count() == 0 &&
+      reloaded.exceptAll(direct).count() == 0)
+
+    val ds = Selection.trainDsir(docs, target, buckets = 256)
+    Selection.saveDsir(ds, s"$dir/dsir")
+    val ds2 = Selection.loadDsir(spark, s"$dir/dsir")
+    assert(ds2.buckets == 256)
+    val directW = Selection.dsirWeights(docs, target, buckets = 256)
+    val reloadedW = Selection.scoreDsir(docs, ds2)
+    assert(directW.exceptAll(reloadedW).count() == 0 &&
+      reloadedW.exceptAll(directW).count() == 0)
+
+    // cross-loading refuses loudly: the metadata type tag is checked
+    intercept[IllegalArgumentException](Selection.loadLm(spark, s"$dir/dsir"))
+    intercept[IllegalArgumentException](Selection.loadDsir(spark, s"$dir/lm"))
+  }
+
   test("dsirWeights is partitioning-independent (exact)") {
     val base = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail"))
     val a = Selection.dsirWeights(base.toDF("doc_id", "text").repartition(1),
