@@ -1103,6 +1103,18 @@ object SparkEntry {
     // ===== data selection (distribution-level filters) =====
     "lm_bits" -> ((s, d) => Selection.lmBits(t(s, d, "documents"))),
 
+    "lm_bits_reloaded" -> ((s, d) => {
+      // the persisted-model path end to end: train → save (parquet counts +
+      // metadata) → load in a fresh object → score. Same oracle as lm_bits —
+      // the round trip must be semantically invisible (the 100-TB contract:
+      // train the model once, score later batches across sessions)
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lm-reload").toString
+      Selection.saveLm(Selection.trainLm(docs), dir)
+      Selection.scoreLm(docs, Selection.loadLm(s, dir))
+    }),
+
     "dsir_weights" -> ((s, d) => {
       // target distribution stand-in: every 97th document (same convention
       // as decontaminate's benchmark); weights tilt the corpus toward it
@@ -2321,6 +2333,7 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "lm_bits" -> lmBitsSql,
+    "lm_bits_reloaded" -> lmBitsSql,
     "dsir_weights" -> dsirSql,
 
     // IcebergLite round trips: whatever the metadata chain plans and the
