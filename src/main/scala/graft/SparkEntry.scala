@@ -469,6 +469,53 @@ object SparkEntry {
     "apply_unary_sqrt" -> ((s, d) =>
       vec1(s, d).apply(Ops.absOp).apply(Ops.sqrtOp).df),
 
+    "complex_ops" -> ((s, d) => {
+      // FC64 surface end-to-end (reference `dtypes.py:423-457` gated tier):
+      // ctruediv through the ewise_mult kernel, cexp/clog/csqrt through
+      // apply. im is offset +0.5 so z never hits the origin or the negative
+      // real axis (both engines agree on atan2 branch cuts anyway; this
+      // keeps the fixture away from signed-zero territory). w's real part
+      // is >= 1 so the ctruediv denominator is never 0. Componentwise
+      // formulas are written in the SAME operation order as the oracle SQL,
+      // rounded to 6 (libm-vs-JVM exp/trig differ by ulps, never more).
+      val base = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("id"),
+          (col("c_acctbal") / 1000).as("re"),
+          ((col("c_custkey") % 7).cast("double") - 3 + 0.5).as("im"))
+      val vz = GrbVector(base.select(col("id"),
+        Ops.Cx(col("re"), col("im")).as("v")), 1L << 40)
+      val vw = GrbVector(base.select(col("id"),
+        Ops.Cx(((col("id") % 7) + 1).cast("double"), col("re")).as("v")), 1L << 40)
+      val dv = vz.ewiseMult(vw, Ops.ctruediv).df
+        .select(col("id"), col("v.re").as("dre"), col("v.im").as("dim"))
+      val ev = vz.apply(Ops.cexpOp).df
+        .select(col("id"), col("v.re").as("ere"), col("v.im").as("eim"))
+      val lv = vz.apply(Ops.clogOp).df
+        .select(col("id"), col("v.re").as("lre"), col("v.im").as("lim"))
+      val sv = vz.apply(Ops.csqrtOp).df
+        .select(col("id"), col("v.re").as("sre"), col("v.im").as("sim"))
+      dv.join(ev, "id").join(lv, "id").join(sv, "id")
+        .select(col("id") +: Seq("dre", "dim", "ere", "eim", "lre", "lim",
+          "sre", "sim").map(c => round(col(c), 6).as(c)): _*)
+    }),
+
+    "special_funcs" -> ((s, d) => {
+      // lgamma/tgamma kernels (Lanczos g=7 + reflection, Ops.scala) against
+      // DuckDB's libm lgamma/gamma: x >= 3.2 exercises the main branch,
+      // y in [-1.9, 0.32] (never within 0.05 of a pole) the reflection
+      // branch with sign. Lanczos is ~1e-13 relative, so round-6 agreement
+      // is deterministic headroom, not luck.
+      val base = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("id"),
+          (col("c_acctbal") / 1000 + 4.2).as("x"),
+          ((col("c_custkey") % 7).cast("double") * 0.37 - 1.9).as("y"))
+      val lg = GrbVector(base.select(col("id"), col("x").as("v")), 1L << 40)
+        .apply(Ops.lgammaOp).df.select(col("id"), round(col("v"), 6).as("lg"))
+      val tg = GrbVector(base.select(col("id"), col("y").as("v")), 1L << 40)
+        .apply(Ops.tgammaOp).df.select(col("id"), round(col("v"), 6).as("tg"))
+      lg.join(tg, "id")
+    }),
+
     "reduce_scalar_plus" -> ((s, d) => {
       import s.implicits._
       Seq(vec1(s, d).reduce(Ops.plusMonoid).get.asInstanceOf[Double])
@@ -1539,6 +1586,31 @@ object SparkEntry {
     "select_value_gt" -> s"SELECT id, v FROM ($sqlV1) WHERE v > 5000.0",
 
     "apply_unary_sqrt" -> s"SELECT id, sqrt(abs(v)) AS v FROM ($sqlV1)",
+
+    "complex_ops" ->
+      """WITH z AS (SELECT c_custkey AS id,
+        |    c_acctbal / 1000 AS re,
+        |    CAST(c_custkey % 7 AS DOUBLE) - 3 + 0.5 AS im,
+        |    CAST((c_custkey % 7) + 1 AS DOUBLE) AS wre,
+        |    c_acctbal / 1000 AS wim
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT id,
+        |  round((re * wre + im * wim) / (wre * wre + wim * wim), 6) AS dre,
+        |  round((im * wre - re * wim) / (wre * wre + wim * wim), 6) AS dim,
+        |  round(exp(re) * cos(im), 6) AS ere,
+        |  round(exp(re) * sin(im), 6) AS eim,
+        |  round(ln(sqrt(re * re + im * im)), 6) AS lre,
+        |  round(atan2(im, re), 6) AS lim,
+        |  round(sqrt((sqrt(re * re + im * im) + re) / 2), 6) AS sre,
+        |  round((CASE WHEN im < 0 THEN -1 ELSE 1 END)
+        |    * sqrt((sqrt(re * re + im * im) - re) / 2), 6) AS sim
+        |FROM z""".stripMargin,
+
+    "special_funcs" ->
+      """SELECT c_custkey AS id,
+        |  round(lgamma(c_acctbal / 1000 + 4.2), 6) AS lg,
+        |  round(gamma(CAST(c_custkey % 7 AS DOUBLE) * 0.37 - 1.9), 6) AS tg
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
 
     "reduce_scalar_plus" -> s"SELECT round(sum(v), 2) AS total FROM ($sqlV1)",
 
