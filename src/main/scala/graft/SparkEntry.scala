@@ -1187,6 +1187,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    "iceberg_mor" -> ((s, d) => {
+      // merge-on-read end-to-end: append everything (seq 1), position-
+      // delete the short docs (seq 2, deleteWhere), equality-delete a
+      // doc_id slice (seq 3, global content=2 file), then re-append a
+      // sub-slice (seq 4). Visible rows must show position deletes
+      // applied, equality deletes applied STRICTLY to older sequence
+      // numbers, and the re-appended sub-slice alive again — the three v2
+      // row-level mechanisms in one read.
+      val dir = icebergFixtureDir(s, d, "mor")
+      val docs = t(s, d, "documents")
+      graft.ingest.IcebergLite.append(docs, dir, nowMs = 1000L)
+      graft.ingest.IcebergLite.deleteWhere(s, dir,
+        col("n_chars") < 200, nowMs = 2000L)
+      graft.ingest.IcebergLite.appendEqualityDeletes(s, dir,
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"), nowMs = 3000L)
+      graft.ingest.IcebergLite.append(docs.filter(col("doc_id") % 20 === 3),
+        dir, nowMs = 4000L)
+      graft.ingest.IcebergLite.readTable(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     "iceberg_prune" -> ((s, d) => {
       // partition-pruned snapshot read: only lang=en files are planned
       // (manifest bounds + file tuples); correctness of the pruning is the
@@ -2412,6 +2433,13 @@ object SparkEntry {
     // scan returns must equal the raw parquet table
     "iceberg_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents",
+    "iceberg_mor" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars >= 200 AND doc_id % 10 <> 3
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 20 = 3""".stripMargin,
+
     "iceberg_prune" ->
       "SELECT doc_id, lang FROM documents WHERE lang = 'en'"
   )

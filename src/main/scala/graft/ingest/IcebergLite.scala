@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -41,13 +41,23 @@ import org.apache.spark.sql.types._
   *     (`added_files_count` vs `added_data_files_count`, …) by defensive
   *     by-name access
   *
-  * Row-level delete files (manifest `content=1` / data-file `content!=0`)
-  * are NOT supported and fail loudly — this engine's ingest contract is
-  * append-only crawl snapshots.
+  *   - v2 MERGE-ON-READ row-level deletes (round 5): position deletes
+  *     ((file_path, pos) parquet, content=1) applied as an anti-join
+  *     against the scan's `_metadata.file_path`/`row_index` lineage, and
+  *     equality deletes (content=2, per equality_ids group) applied
+  *     null-safe with the spec's sequence-number strictness — a row
+  *     re-inserted AFTER an equality delete survives it. Append-only
+  *     snapshots keep the plain-scan plan unchanged. `planFiles` (a raw
+  *     data-file listing) still refuses delete-carrying snapshots loudly —
+  *     its counts would lie; `readTable`/`planScan` are the delete-aware
+  *     paths, and malformed tables (delete files inside data manifests or
+  *     vice versa) fail loudly at planning.
   *
   * The writer exists to produce spec-shaped fixtures (and is honest
-  * append-only Iceberg: accumulated manifest list per snapshot, sequence
-  * numbers, partition summaries, `field-id` props on every Avro field).
+  * Iceberg v2: accumulated manifest list per snapshot, sequence numbers,
+  * partition summaries, `field-id` props on every Avro field; `deleteWhere`
+  * commits position-delete snapshots, `appendEqualityDeletes` global
+  * equality-delete snapshots — data files are never rewritten).
   * Identity partition columns carry a small-cardinality contract (each
   * distinct tuple is one driver-side parquet write — `lang` with 6 values,
   * not `url`); a real high-volume writer distributes that fan-out, but the
@@ -61,6 +71,34 @@ object IcebergLite {
     * footer row count, size in bytes. */
   final case class DataFileInfo(path: String, partition: Map[String, String],
                                 recordCount: Long, sizeBytes: Long)
+
+  /** One planned row-level delete file (v2 merge-on-read). `equalityIds`
+    * is empty for position deletes (content=1), the equality field ids for
+    * equality deletes (content=2). `sequenceNumber` is the entry's data
+    * sequence number (inherited from its manifest when null). */
+  final case class DeleteFileInfo(path: String, partition: Map[String, String],
+                                  recordCount: Long, sequenceNumber: Long,
+                                  equalityIds: Seq[Int])
+
+  /** A delete-aware snapshot scan plan. `dataSeq` maps each data file's
+    * NORMALIZED path (scheme stripped — see `normPath`) to its data
+    * sequence number, the key position/equality delete application needs. */
+  final case class ScanPlan(dataFiles: Seq[DataFileInfo],
+                            dataSeq: Map[String, Long],
+                            posDeletes: Seq[DeleteFileInfo],
+                            eqDeletes: Seq[DeleteFileInfo])
+
+  /** Scheme-normalized file path: `file:/x`, `file:///x` and `/x` all
+    * compare equal. Delete files reference data files by path STRING; the
+    * manifest writer, the parquet `_metadata.file_path` column and the
+    * delete-file `file_path` column spell the same file with different
+    * scheme syntax, so every comparison in the delete-apply path goes
+    * through this normalization (Java regex, same pattern as the
+    * `regexp_replace` used on the distributed side). */
+  private def normPath(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
+  private def normPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
 
   private val mapper = new ObjectMapper()
 
@@ -194,6 +232,8 @@ object IcebergLite {
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
          |  {"name":"split_offsets","type":["null",{"type":"array","items":"long",
          |    "element-id":133}],"default":null,"field-id":132},
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int",
+         |    "element-id":136}],"default":null,"field-id":135},
          |  {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
          |]},"field-id":2}
          |]}""".stripMargin)
@@ -294,15 +334,36 @@ object IcebergLite {
   // read path
   // ------------------------------------------------------------------
 
-  /** Plan the data files of one snapshot (driver-side, like Iceberg's own
-    * planning): resolve the snapshot, walk its manifest list with
-    * manifest-level bound pruning, then its manifests with file-level
-    * partition-tuple pruning. `partitionFilter` is identity equality,
-    * col → value-as-string. */
+  /** Plan the DATA files of one snapshot. Fails loudly when the snapshot
+    * carries row-level delete files: a raw data-file listing would
+    * overcount deleted rows — use `readTable` (delete-aware) or `planScan`
+    * on merge-on-read tables. */
   def planFiles(spark: SparkSession, tableDir: String,
                 snapshotId: Option[Long] = None,
                 asOfMs: Option[Long] = None,
                 partitionFilter: Map[String, String] = Map.empty): Seq[DataFileInfo] = {
+    val plan = planScan(spark, tableDir, snapshotId, asOfMs, partitionFilter)
+    require(plan.posDeletes.isEmpty && plan.eqDeletes.isEmpty,
+      "IcebergLite: this snapshot carries row-level delete files " +
+        "(merge-on-read) — planFiles would overcount; use readTable or planScan")
+    plan.dataFiles
+  }
+
+  /** Plan one snapshot delete-aware (driver-side, like Iceberg's own
+    * planning): resolve the snapshot, walk its manifest list with
+    * manifest-level bound pruning, then its manifests with file-level
+    * partition-tuple pruning; collect data files (content=0 manifests) and
+    * position/equality delete files (content=1 manifests) separately.
+    * `partitionFilter` is identity equality, col → value-as-string.
+    * Delete files prune only when they carry a CONTRADICTING partition
+    * tuple — an absent/null tuple value means partition-agnostic scope and
+    * the file is kept (pruning deletes is an optimization, never needed
+    * for correctness: a pruned delete could only have matched rows the
+    * data-side pruning already dropped). */
+  def planScan(spark: SparkSession, tableDir: String,
+               snapshotId: Option[Long] = None,
+               asOfMs: Option[Long] = None,
+               partitionFilter: Map[String, String] = Map.empty): ScanPlan = {
     val (_, meta) = currentMetadata(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"IcebergLite: no table at $tableDir"))
     val snaps = meta.get("snapshots").elements.asScala.toSeq
@@ -347,10 +408,14 @@ object IcebergLite {
 
     val manifestList = new Path(chosen.get("manifest-list").asText)
     val out = ArrayBuffer.empty[DataFileInfo]
+    val dataSeq = scala.collection.mutable.Map.empty[String, Long]
+    val posDel = ArrayBuffer.empty[DeleteFileInfo]
+    val eqDel = ArrayBuffer.empty[DeleteFileInfo]
     readAvro(spark, manifestList).foreach { mf =>
-      val content = asLong(get(mf, "content"), 0L)
-      require(content == 0L,
-        "IcebergLite: delete manifests (content=1) are not supported — append-only ingest")
+      val mContent = asLong(get(mf, "content"), 0L)
+      require(mContent == 0L || mContent == 1L,
+        s"IcebergLite: unknown manifest content=$mContent")
+      val mfSeq = asLong(get(mf, "sequence_number"), 0L)
       val specId = asLong(get(mf, "partition_spec_id"), 0L).toInt
       val specFields = specs.getOrElse(specId, Seq.empty)
 
@@ -385,8 +450,8 @@ object IcebergLite {
           val status = asLong(get(e, "status"), 1L)
           if (status != 2L) { // 2 = DELETED
             val df = get(e, "data_file").asInstanceOf[GenericRecord]
-            require(asLong(get(df, "content"), 0L) == 0L,
-              "IcebergLite: row-level delete files are not supported")
+            val fContent = asLong(get(df, "content"), 0L)
+            val seq = asLong(get(e, "sequence_number"), mfSeq)
             val fmt = asString(get(df, "file_format"))
             require(fmt == null || fmt.equalsIgnoreCase("parquet"),
               s"IcebergLite: unsupported file format $fmt")
@@ -396,22 +461,64 @@ object IcebergLite {
                 p.getSchema.getFields.asScala.map(f =>
                   f.name -> asString(p.get(f.name))).toMap
             }
-            val keep = partitionFilter.forall { case (k, v) =>
-              tuple.get(k).forall(_ == v) // unknown col: cannot prune
+            val path = asString(get(df, "file_path"))
+            if (mContent == 0L) {
+              require(fContent == 0L, "IcebergLite: data manifest (content=0) " +
+                "lists a delete file — malformed table")
+              val keep = partitionFilter.forall { case (k, v) =>
+                tuple.get(k).forall(_ == v) // unknown col: cannot prune
+              }
+              if (keep) {
+                out += DataFileInfo(path, tuple,
+                  asLong(get(df, "record_count")),
+                  asLong(get(df, "file_size_in_bytes")))
+                dataSeq(normPath(path)) = seq
+              }
+            } else {
+              require(fContent == 1L || fContent == 2L,
+                "IcebergLite: delete manifest (content=1) lists a data file " +
+                  "— malformed table")
+              // keep on absent/null tuple values (partition-agnostic scope)
+              val keep = partitionFilter.forall { case (k, v) =>
+                tuple.get(k) match {
+                  case Some(x) if x != null => x == v
+                  case _ => true
+                }
+              }
+              if (keep) {
+                val ids: Seq[Int] = get(df, "equality_ids") match {
+                  case null => Seq.empty
+                  case l: java.lang.Iterable[_] =>
+                    l.asScala.toSeq.map(x => asLong(x).toInt)
+                  case other =>
+                    throw new IllegalStateException(s"bad equality_ids: $other")
+                }
+                val info = DeleteFileInfo(path, tuple,
+                  asLong(get(df, "record_count")), seq, ids)
+                if (fContent == 1L) posDel += info
+                else {
+                  require(ids.nonEmpty,
+                    "IcebergLite: equality delete file without equality_ids")
+                  eqDel += info
+                }
+              }
             }
-            if (keep) out += DataFileInfo(
-              asString(get(df, "file_path")), tuple,
-              asLong(get(df, "record_count")),
-              asLong(get(df, "file_size_in_bytes")))
           }
         }
       }
     }
-    out.toSeq
+    ScanPlan(out.toSeq, dataSeq.toMap, posDel.toSeq, eqDel.toSeq)
   }
 
   /** Read a snapshot as a DataFrame: driver-side planning, distributed
-    * parquet scan with the METADATA schema (pushdown/pruning intact). */
+    * parquet scan with the METADATA schema (pushdown/pruning intact).
+    * Merge-on-read snapshots apply their v2 row-level deletes exactly:
+    * position deletes as a (file, pos) anti-join against the scan's
+    * `_metadata.file_path`/`row_index` lineage (applied when the delete's
+    * data sequence number >= the data file's), equality deletes as a
+    * null-safe anti-join per equality_ids group (strictly newer sequence
+    * numbers only, so a row re-inserted AFTER the delete survives).
+    * Append-only snapshots keep the plain-scan plan bit-for-bit. */
   def readTable(spark: SparkSession, tableDir: String,
                 snapshotId: Option[Long] = None,
                 asOfMs: Option[Long] = None,
@@ -419,10 +526,87 @@ object IcebergLite {
     val (_, meta) = currentMetadata(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"IcebergLite: no table at $tableDir"))
     val schema = schemaFromMetadata(meta)
-    val files = planFiles(spark, tableDir, snapshotId, asOfMs, partitionFilter)
-    if (files.isEmpty)
+    val plan = planScan(spark, tableDir, snapshotId, asOfMs, partitionFilter)
+    if (plan.dataFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    else if (plan.posDeletes.isEmpty && plan.eqDeletes.isEmpty)
+      spark.read.schema(schema).parquet(plan.dataFiles.map(_.path): _*)
+    else applyDeletes(spark, meta, schema, plan)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Data scan with row lineage: `_ice_path` (normalized file path),
+    * `_ice_pos` (ordinal in the file — the spec's position-delete `pos`),
+    * `_ice_seq` (the file's data sequence number, broadcast-joined from the
+    * driver-side plan, O(#files) rows). The `assert_true` guard fails
+    * LOUDLY if a scanned path fails to match its manifest path after
+    * normalization — the alternative is silently resurrecting or
+    * double-deleting rows. */
+  private def lineageScan(spark: SparkSession, schema: StructType,
+                          plan: ScanPlan): DataFrame = {
+    import spark.implicits._
+    val seqDf = broadcast(plan.dataSeq.toSeq.toDF("_ice_path", "_ice_seq"))
+    spark.read.schema(schema).parquet(plan.dataFiles.map(_.path): _*)
+      .withColumn("_ice_path", normPathCol(col("_metadata.file_path")))
+      .withColumn("_ice_pos", col("_metadata.row_index"))
+      .join(seqDf, Seq("_ice_path"), "left")
+      .filter(coalesce(assert_true(col("_ice_seq").isNotNull,
+        lit("IcebergLite: scanned file path not found in manifest plan")),
+        lit(true)))
+  }
+
+  /** Apply the plan's row-level deletes over the lineage scan; returns the
+    * surviving rows WITH the lineage columns (callers project them away).
+    * Per the v2 spec: a position delete applies to rows of data files with
+    * sequence number <= its own (vacuous with write-once-unique paths, but
+    * kept for fidelity); an equality delete applies STRICTLY to older
+    * sequence numbers, with null-safe (`<=>`) key comparison. Delete sets
+    * are ordinary DataFrames — AQE broadcasts them when small; when a table
+    * carries deletes rivaling the data in size, a shuffled anti-join is the
+    * right plan anyway. */
+  private def applyDeletes(spark: SparkSession, meta: ObjectNode,
+                           schema: StructType, plan: ScanPlan): DataFrame = {
+    import spark.implicits._
+    var cur = lineageScan(spark, schema, plan)
+    if (plan.posDeletes.nonEmpty) {
+      val seqDf = broadcast(plan.posDeletes
+        .map(d => (normPath(d.path), d.sequenceNumber)).toDF("_del_file", "_del_seq"))
+      val delSchema = StructType(Seq(StructField("file_path", StringType),
+        StructField("pos", LongType)))
+      val dels = spark.read.schema(delSchema).parquet(plan.posDeletes.map(_.path): _*)
+        .select(normPathCol(col("file_path")).as("_t_path"), col("pos").as("_t_pos"),
+          normPathCol(col("_metadata.file_path")).as("_del_file"))
+        .join(seqDf, Seq("_del_file"))
+      cur = cur.alias("l").join(dels.alias("r"),
+        col("l._ice_path") === col("r._t_path") &&
+          col("l._ice_pos") === col("r._t_pos") &&
+          col("r._del_seq") >= col("l._ice_seq"), "left_anti")
+    }
+    if (plan.eqDeletes.nonEmpty) {
+      val schemaId = meta.get("current-schema-id").asInt
+      val idToName: Map[Int, String] = meta.get("schemas").elements.asScala
+        .find(_.get("schema-id").asInt == schemaId).get
+        .get("fields").elements.asScala
+        .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+      // group by equality column set (anti-joins commute; sorted for a
+      // deterministic plan)
+      plan.eqDeletes.groupBy(_.equalityIds).toSeq
+        .sortBy(_._1.mkString(",")).foreach { case (ids, files) =>
+          val cols = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"IcebergLite: equality_ids field $id not in current schema")))
+          val eqSchema = StructType(cols.map(c => schema(c)))
+          val seqDf = broadcast(files
+            .map(f => (normPath(f.path), f.sequenceNumber)).toDF("_del_file", "_del_seq"))
+          val dels = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
+            .withColumn("_del_file", normPathCol(col("_metadata.file_path")))
+            .join(seqDf, Seq("_del_file"))
+          val cond = cols.map(c => col(s"l.`$c`") <=> col(s"r.`$c`"))
+            .reduce(_ && _) && col("r._del_seq") > col("l._ice_seq")
+          cur = cur.alias("l").join(dels.alias("r"), cond, "left_anti")
+        }
+    }
+    cur
   }
 
   // ------------------------------------------------------------------
@@ -651,6 +835,239 @@ object IcebergLite {
 
     writeText(spark, new Path(md, s"v$version.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(spark, new Path(md, "version-hint.text"), version.toString)
+    snapshotId
+  }
+
+  /** Default partition-spec columns (name, table type) of a committed
+    * table's metadata. */
+  private def defaultSpecCols(meta: ObjectNode, schema: StructType): Seq[(String, DataType)] = {
+    val sid = meta.get("default-spec-id").asInt
+    meta.get("partition-specs").elements.asScala
+      .find(_.get("spec-id").asInt == sid).toSeq
+      .flatMap(_.get("fields").elements.asScala)
+      .map { f => val n = f.get("name").asText; n -> schema(n).dataType }
+  }
+
+  /** Merge-on-read DELETE: commit one POSITION-DELETE snapshot removing the
+    * currently visible rows matching `cond` (existing deletes are applied
+    * first, so re-deleting is a no-op). Spec-shaped output: one sorted
+    * (file_path, pos) parquet per affected partition tuple, referenced by a
+    * content=1 manifest appended to the manifest list — data files are
+    * never rewritten. The per-tuple write loop carries the same
+    * small-cardinality contract as `append`. Returns the new snapshot id. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  cond: org.apache.spark.sql.Column,
+                  nowMs: Long = System.currentTimeMillis()): Long = {
+    import spark.implicits._
+    val (_, meta) = currentMetadata(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"IcebergLite: no table at $tableDir"))
+    val schema = schemaFromMetadata(meta)
+    val plan = planScan(spark, tableDir)
+    val pCols = defaultSpecCols(meta, schema)
+    val entrySchema = manifestEntrySchema(pCols)
+    val dfSchema = entrySchema.getField("data_file").schema
+    val partSchema = dfSchema.getField("partition").schema
+    val snapshotId = meta.get("current-snapshot-id").asLong + 1
+    val entries = ArrayBuffer.empty[GenericRecord]
+    var deletedRows = 0L
+    if (plan.dataFiles.nonEmpty) {
+      val visible =
+        if (plan.posDeletes.isEmpty && plan.eqDeletes.isEmpty)
+          lineageScan(spark, schema, plan)
+        else applyDeletes(spark, meta, schema, plan)
+      val hits = visible.filter(cond).select(col("_ice_path"), col("_ice_pos"))
+      val rawByNorm = plan.dataFiles.map(f => normPath(f.path) -> f.path).toMap
+      val tuples = plan.dataFiles.map(_.partition).distinct
+        .sortBy(_.toSeq.sortBy(_._1).mkString(" "))
+      val f = fs(metadataDir(tableDir), spark)
+      tuples.zipWithIndex.foreach { case (tup, i) =>
+        val norms = plan.dataFiles.filter(_.partition == tup)
+          .map(df0 => normPath(df0.path))
+        val sub = if (tuples.size == 1) hits
+                  else hits.filter(col("_ice_path").isin(norms: _*))
+        // rewrite to the path string the data manifests record, and honor
+        // the spec's (file_path, pos) sort order within the delete file
+        val rawMap = broadcast(norms.map(p => (p, rawByNorm(p)))
+          .toDF("_ice_path", "file_path"))
+        val subdir = new Path(tableDir, s"data/snap-$snapshotId/deletes-$i")
+        sub.join(rawMap, Seq("_ice_path"))
+          .select(col("file_path"), col("_ice_pos").as("pos"))
+          .coalesce(1).sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(subdir.toString)
+        f.globStatus(new Path(subdir, "part-*.parquet")).toSeq.foreach { st =>
+          val rows = parquetRowCount(spark, st.getPath)
+          if (rows > 0) { // an empty delete file is legal but pure noise
+            deletedRows += rows
+            entries += deleteEntry(entrySchema, dfSchema, partSchema, pCols,
+              tup, st.getPath.toUri.toString, st.getLen, rows,
+              content = 1, equalityIds = Seq.empty)
+          }
+        }
+      }
+    }
+    commitDeleteSnapshot(spark, tableDir, meta, entrySchema, entries.toSeq,
+      deletedRows, nowMs)
+  }
+
+  /** Fixture writer for EQUALITY deletes (v2 content=2): `keys` rows mark
+    * every current-or-earlier row whose named columns match (null-safe) as
+    * deleted. Global scope — this writer supports UNPARTITIONED tables (a
+    * real global equality delete references an unpartitioned spec; this
+    * table format keeps a single spec). Names AND types must match the
+    * table schema. Returns the new snapshot id. */
+  def appendEqualityDeletes(spark: SparkSession, tableDir: String,
+                            keys: DataFrame,
+                            nowMs: Long = System.currentTimeMillis()): Long = {
+    val (_, meta) = currentMetadata(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"IcebergLite: no table at $tableDir"))
+    val schema = schemaFromMetadata(meta)
+    val pCols = defaultSpecCols(meta, schema)
+    require(pCols.isEmpty, "IcebergLite: equality-delete writer supports " +
+      "unpartitioned tables only (global deletes)")
+    keys.schema.fields.foreach { kf =>
+      val tf = schema.fields.find(_.name == kf.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"IcebergLite: equality-delete column ${kf.name} is not a table column"))
+      require(tf.dataType == kf.dataType, s"IcebergLite: equality-delete " +
+        s"column ${kf.name} type ${kf.dataType} != table ${tf.dataType}")
+    }
+    val schemaId = meta.get("current-schema-id").asInt
+    val fieldIdOf: Map[String, Int] = meta.get("schemas").elements.asScala
+      .find(_.get("schema-id").asInt == schemaId).get
+      .get("fields").elements.asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val ids = keys.schema.fieldNames.toSeq.map(fieldIdOf)
+    val entrySchema = manifestEntrySchema(pCols)
+    val dfSchema = entrySchema.getField("data_file").schema
+    val partSchema = dfSchema.getField("partition").schema
+    val snapshotId = meta.get("current-snapshot-id").asLong + 1
+    val subdir = new Path(tableDir, s"data/snap-$snapshotId/eq-deletes")
+    keys.coalesce(1).write.mode("overwrite").parquet(subdir.toString)
+    val f = fs(metadataDir(tableDir), spark)
+    val entries = ArrayBuffer.empty[GenericRecord]
+    var deletedRows = 0L
+    f.globStatus(new Path(subdir, "part-*.parquet")).toSeq.foreach { st =>
+      val rows = parquetRowCount(spark, st.getPath)
+      if (rows > 0) {
+        deletedRows += rows
+        entries += deleteEntry(entrySchema, dfSchema, partSchema, pCols,
+          Map.empty, st.getPath.toUri.toString, st.getLen, rows,
+          content = 2, equalityIds = ids)
+      }
+    }
+    commitDeleteSnapshot(spark, tableDir, meta, entrySchema, entries.toSeq,
+      deletedRows, nowMs)
+  }
+
+  /** One delete-file manifest entry (content 1 = position, 2 = equality). */
+  private def deleteEntry(entrySchema: Schema, dfSchema: Schema,
+                          partSchema: Schema, pCols: Seq[(String, DataType)],
+                          tuple: Map[String, String], path: String,
+                          sizeBytes: Long, rows: Long, content: Int,
+                          equalityIds: Seq[Int]): GenericRecord = {
+    val pRec = new GenericData.Record(partSchema)
+    pCols.foreach { case (c, dt) =>
+      tuple.get(c).foreach { v =>
+        val typed: Any = dt match {
+          case LongType => java.lang.Long.valueOf(v)
+          case IntegerType => java.lang.Integer.valueOf(v)
+          case _ => v
+        }
+        pRec.put(c, typed)
+      }
+    }
+    val dRec = new GenericData.Record(dfSchema)
+    dRec.put("content", content)
+    dRec.put("file_path", path)
+    dRec.put("file_format", "PARQUET")
+    dRec.put("partition", pRec)
+    dRec.put("record_count", rows)
+    dRec.put("file_size_in_bytes", sizeBytes)
+    if (equalityIds.nonEmpty) {
+      val arrSchema = dfSchema.getField("equality_ids").schema
+        .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+      dRec.put("equality_ids", new GenericData.Array(arrSchema,
+        equalityIds.map(java.lang.Integer.valueOf).asJava))
+    }
+    val eRec = new GenericData.Record(entrySchema)
+    eRec.put("status", 1) // ADDED
+    eRec.put("data_file", dRec)
+    eRec // snapshot/sequence numbers stamped at commit
+  }
+
+  /** Commit a row-level-delete snapshot: write the content=1 manifest,
+    * append it to the prior manifest list, and advance the table metadata
+    * (deep-copied — schemas and specs are untouched by deletes). */
+  private def commitDeleteSnapshot(spark: SparkSession, tableDir: String,
+                                   meta0: ObjectNode, entrySchema: Schema,
+                                   entries: Seq[GenericRecord],
+                                   deletedRows: Long, nowMs: Long): Long = {
+    val md = metadataDir(tableDir)
+    val version = currentMetadata(spark, tableDir).get._1 + 1
+    val meta = meta0.deepCopy()
+    val snapshotId = meta.get("current-snapshot-id").asLong + 1
+    val seqNum = meta.get("last-sequence-number").asLong + 1
+    entries.foreach { e =>
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seqNum)
+      e.put("file_sequence_number", seqNum)
+    }
+    val schemaId = meta.get("current-schema-id").asInt
+    val schemaNode = meta.get("schemas").elements.asScala
+      .find(_.get("schema-id").asInt == schemaId).get
+    val specId = meta.get("default-spec-id").asInt
+    val specNode = meta.get("partition-specs").elements.asScala
+      .find(_.get("spec-id").asInt == specId).get
+    val manifestPath = new Path(md, f"manifest-$snapshotId%05d-deletes.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema,
+      Seq("schema" -> mapper.writeValueAsString(schemaNode),
+        "partition-spec" -> mapper.writeValueAsString(specNode.get("fields")),
+        "partition-spec-id" -> specId.toString,
+        "format-version" -> "2",
+        "content" -> "deletes"),
+      entries)
+    val newMf = new GenericData.Record(manifestListSchema)
+    newMf.put("manifest_path", manifestPath.toUri.toString)
+    newMf.put("manifest_length", manifestLen)
+    newMf.put("partition_spec_id", specId)
+    newMf.put("content", 1)
+    newMf.put("sequence_number", seqNum)
+    newMf.put("min_sequence_number", seqNum)
+    newMf.put("added_snapshot_id", snapshotId)
+    newMf.put("added_files_count", entries.length)
+    newMf.put("existing_files_count", 0)
+    newMf.put("deleted_files_count", 0)
+    newMf.put("added_rows_count", deletedRows)
+    newMf.put("existing_rows_count", 0L)
+    newMf.put("deleted_rows_count", 0L)
+    val cur = meta.get("current-snapshot-id").asLong
+    val priorMfs: Seq[GenericRecord] = meta.get("snapshots").elements.asScala
+      .find(_.get("snapshot-id").asLong == cur)
+      .map(s => readAvro(spark, new Path(s.get("manifest-list").asText))
+        .map(copyManifestFile))
+      .getOrElse(Seq.empty)
+    val listPath = new Path(md, f"snap-$snapshotId%05d.avro")
+    writeAvro(spark, listPath, manifestListSchema,
+      Seq("format-version" -> "2"), priorMfs :+ newMf)
+    meta.put("last-sequence-number", seqNum)
+    meta.put("last-updated-ms", nowMs)
+    meta.put("current-snapshot-id", snapshotId)
+    val sn = meta.withArray[ArrayNode]("snapshots").addObject()
+    sn.put("sequence-number", seqNum)
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", nowMs)
+    val summ = sn.putObject("summary")
+    summ.put("operation", "delete")
+    summ.put("added-delete-files", entries.length.toString)
+    summ.put("added-records", deletedRows.toString)
+    sn.put("manifest-list", listPath.toUri.toString)
+    sn.put("schema-id", schemaId)
+    val sl = meta.withArray[ArrayNode]("snapshot-log").addObject()
+    sl.put("timestamp-ms", nowMs)
+    sl.put("snapshot-id", snapshotId)
+    writeText(spark, new Path(md, s"v$version.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
     writeText(spark, new Path(md, "version-hint.text"), version.toString)
     snapshotId
   }

@@ -129,7 +129,7 @@ class IcebergSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("schema"))
   }
 
-  test("delete manifests (merge-on-read) are rejected at PLANNING on every " +
+  test("MALFORMED delete manifests are rejected at PLANNING on every " +
     "read path — current, snapshot-id, as-of — never as silent wrong rows") {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.file.{DataFileReader, DataFileWriter}
@@ -138,8 +138,10 @@ class IcebergSpec extends AnyFunSuite with SparkTest {
     val pages = Pages.synthesize(spark, 40, nSites = 5)
     val s1 = IcebergLite.append(pages, dir, nowMs = 1000L)
     // doctor the committed manifest-list: flip its manifest entry to
-    // content=1 — exactly the shape a v2 merge-on-read table (e.g. a real
-    // CC-style table with row-level deletes) would present
+    // content=1 while the manifest inside still lists content=0 DATA files
+    // — a malformed v2 table (round 5 reads well-formed merge-on-read
+    // tables; a delete manifest listing data files is a corruption and
+    // must never be read through as silent wrong rows)
     val mlist = new java.io.File(s"$dir/metadata")
       .listFiles().filter(_.getName.startsWith("snap-")).head
     val rdr = new DataFileReader[GenericRecord](
@@ -166,8 +168,71 @@ class IcebergSpec extends AnyFunSuite with SparkTest {
       () => IcebergLite.readTable(spark, dir, asOfMs = Some(1500L)).count()
     ).foreach { path =>
       assert(intercept[IllegalArgumentException](path())
-        .getMessage.contains("delete manifests"))
+        .getMessage.contains("lists a data file"))
     }
+  }
+
+  test("merge-on-read position deletes: deleteWhere removes exactly the " +
+    "matching rows, time travel sees the pre-delete snapshot, planFiles " +
+    "refuses the delete-carrying snapshot") {
+    val dir = tmpTable()
+    val pages = Pages.synthesize(spark, 120, nSites = 10).cache()
+    val s1 = IcebergLite.append(pages, dir, partitionCols = Seq("lang"), nowMs = 1000L)
+    val s2 = IcebergLite.deleteWhere(spark, dir, col("lang") === "en", nowMs = 2000L)
+    assert(s2 == s1 + 1)
+    val back = IcebergLite.readTable(spark, dir)
+    val expect = pages.filter(col("lang") =!= "en")
+    assert(back.count() == expect.count())
+    // bit-identical survivors: the delete path must not perturb a byte
+    val sel = Seq("url", "warc_ts", "text", "lang").map(col)
+    assert(back.select(sel: _*).exceptAll(expect.select(sel: _*)).count() == 0)
+    assert(expect.select(sel: _*).exceptAll(back.select(sel: _*)).count() == 0)
+    // partition filter composes with delete application
+    assert(IcebergLite.readTable(spark, dir,
+      partitionFilter = Map("lang" -> "en")).count() == 0)
+    // time travel: the pre-delete snapshot still reads complete
+    assert(IcebergLite.readTable(spark, dir, snapshotId = Some(s1)).count() == 120)
+    // planFiles: fine on s1, loud on the delete-carrying current snapshot
+    assert(IcebergLite.planFiles(spark, dir, snapshotId = Some(s1)).nonEmpty)
+    assert(intercept[IllegalArgumentException] {
+      IcebergLite.planFiles(spark, dir)
+    }.getMessage.contains("merge-on-read"))
+    // idempotent re-delete: a second identical deleteWhere is a no-op
+    IcebergLite.deleteWhere(spark, dir, col("lang") === "en", nowMs = 3000L)
+    assert(IcebergLite.readTable(spark, dir).count() == expect.count())
+    pages.unpersist()
+  }
+
+  test("merge-on-read equality deletes honor sequence strictness: a row " +
+    "re-appended AFTER the delete survives it") {
+    val dir = tmpTable()
+    val pages = Pages.synthesize(spark, 90, nSites = 9).cache()
+    IcebergLite.append(pages, dir, nowMs = 1000L) // seq 1
+    val doomed = pages.filter(crc32(col("url")) % 3 === 0)
+    IcebergLite.appendEqualityDeletes(spark, dir,
+      doomed.select("url"), nowMs = 2000L) // seq 2: deletes by key
+    val afterDel = IcebergLite.readTable(spark, dir)
+    val survivors = pages.filter(crc32(col("url")) % 3 =!= 0)
+    assert(afterDel.count() == survivors.count())
+    assert(afterDel.filter(crc32(col("url")) % 3 === 0).count() == 0)
+    // seq 3: re-append a subset of the deleted rows — STRICTLY newer than
+    // the equality delete, so they must be visible again
+    val reborn = doomed.filter(crc32(col("url")) % 9 === 0)
+    IcebergLite.append(reborn, dir, nowMs = 3000L)
+    val back = IcebergLite.readTable(spark, dir)
+    assert(back.count() == survivors.count() + reborn.count())
+    assert(back.filter(crc32(col("url")) % 9 === 0)
+      .count() == reborn.count() + survivors.filter(crc32(col("url")) % 9 === 0).count())
+    // guards: unknown column and type drift are rejected
+    assert(intercept[IllegalArgumentException] {
+      IcebergLite.appendEqualityDeletes(spark, dir,
+        pages.select(col("url").as("page_url")), nowMs = 4000L)
+    }.getMessage.contains("not a table column"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergLite.appendEqualityDeletes(spark, dir,
+        pages.select(length(col("url")).as("url")), nowMs = 4000L)
+    }.getMessage.contains("type"))
+    pages.unpersist()
   }
 
   test("guards: empty partitioned append, unknown filter key, null partition value") {
