@@ -113,21 +113,27 @@ object Bench {
         val pass1T0 = System.nanoTime()
         val pass1 = runPass(trials)
         val pass1Sec = (System.nanoTime() - pass1T0) / 1e9
-        // a retry pass (3 trials, no extra warm-up economics change) costs
-        // roughly pass1 scaled by its trial count; skip it when that would
-        // blow the scaling deadline — a recorded sub-gate number beats an
-        // unrecorded perfect one (the entire r1-r4 lesson)
-        val retryEstSec = pass1Sec * (3.0 + warmup) / (pass1.trialsDone + warmup)
-        val retryFits = elapsedSec + retryEstSec * 0.9 <
-          (scalingDeadline - benchT0) / 1e9
+        // a retry pass costs roughly pass1 scaled by its trial count; a
+        // burst-inflated pass1 (run AA: every leg 1.5-2× quiet, pass1 alone
+        // ate the budget) makes the standard 3-trial retry unaffordable —
+        // DEGRADE to 2 trials before giving up (2 paired ratios still beat
+        // shipping a known-contended pass outright; the estimator's median
+        // of 2 = their mean, recorded as such in the trials arrays). Skip
+        // entirely only when even that would blow the scaling deadline — a
+        // recorded sub-gate number beats an unrecorded perfect one (the
+        // entire r1-r4 lesson).
+        def retryEst(t: Int) = pass1Sec * (t.toDouble + warmup) / (pass1.trialsDone + warmup)
+        val retryTrials = Seq(math.min(trials, 3), 2).distinct.find(t =>
+          elapsedSec + retryEst(t) * 0.9 < (scalingDeadline - benchT0) / 1e9)
         val scalingOut =
           if (pass1.eff >= 0.80 ||
               sys.env.getOrElse("SPARK_GRAFT_SCALING_RETRY", "1") == "0")
             (s"[${pass1.full}]", s"[${pass1.compact}]")
-          else if (!retryFits) {
+          else if (retryTrials.isEmpty) {
             System.err.println(
-              f"[scaling] pass-1 efficiency ${pass1.eff}%.3f < 0.80 but a retry " +
-                f"(~$retryEstSec%.0f s) no longer fits the scaling budget — shipping pass 1")
+              f"[scaling] pass-1 efficiency ${pass1.eff}%.3f < 0.80 but even a " +
+                f"2-trial retry (~${retryEst(2)}%.0f s) no longer fits the " +
+                "scaling budget — shipping pass 1")
             val meta = f"""{"protocol":"contention_retry","picked_pass":1,"pass1_eff":${pass1.eff}%.3f,"pass1_membw_gbps":${pass1.membw}%.1f,"retry":"skipped_budget"}"""
             (s"[${pass1.full},$meta]", s"[${pass1.compact},$meta]")
           } else {
