@@ -912,10 +912,17 @@ object IcebergLite {
 
   /** Fixture writer for EQUALITY deletes (v2 content=2): `keys` rows mark
     * every current-or-earlier row whose named columns match (null-safe) as
-    * deleted. Global scope — this writer supports UNPARTITIONED tables (a
-    * real global equality delete references an unpartitioned spec; this
-    * table format keeps a single spec). Names AND types must match the
-    * table schema. Returns the new snapshot id. */
+    * deleted. Scoping follows the v2 rules: when `keys` carries ALL
+    * partition columns of the (identity) default spec, one
+    * PARTITION-SCOPED delete file is written per distinct partition tuple
+    * — tuple stamped on the manifest entry so partition-filtered reads
+    * prune it, and correctness never depends on that pruning because the
+    * partition values are equality columns too; otherwise one
+    * partition-AGNOSTIC file with a null tuple, this single-spec format's
+    * stand-in for a real global delete against an unpartitioned spec.
+    * Names AND types must match the table schema. The per-tuple write loop
+    * carries the same small-cardinality contract as `append`. Returns the
+    * new snapshot id. */
   def appendEqualityDeletes(spark: SparkSession, tableDir: String,
                             keys: DataFrame,
                             nowMs: Long = System.currentTimeMillis()): Long = {
@@ -923,8 +930,6 @@ object IcebergLite {
       throw new IllegalArgumentException(s"IcebergLite: no table at $tableDir"))
     val schema = schemaFromMetadata(meta)
     val pCols = defaultSpecCols(meta, schema)
-    require(pCols.isEmpty, "IcebergLite: equality-delete writer supports " +
-      "unpartitioned tables only (global deletes)")
     keys.schema.fields.foreach { kf =>
       val tf = schema.fields.find(_.name == kf.name).getOrElse(
         throw new IllegalArgumentException(
@@ -942,19 +947,46 @@ object IcebergLite {
     val dfSchema = entrySchema.getField("data_file").schema
     val partSchema = dfSchema.getField("partition").schema
     val snapshotId = meta.get("current-snapshot-id").asLong + 1
-    val subdir = new Path(tableDir, s"data/snap-$snapshotId/eq-deletes")
-    keys.coalesce(1).write.mode("overwrite").parquet(subdir.toString)
     val f = fs(metadataDir(tableDir), spark)
     val entries = ArrayBuffer.empty[GenericRecord]
     var deletedRows = 0L
-    f.globStatus(new Path(subdir, "part-*.parquet")).toSeq.foreach { st =>
-      val rows = parquetRowCount(spark, st.getPath)
-      if (rows > 0) {
-        deletedRows += rows
-        entries += deleteEntry(entrySchema, dfSchema, partSchema, pCols,
-          Map.empty, st.getPath.toUri.toString, st.getLen, rows,
-          content = 2, equalityIds = ids)
+    def writeDeleteFiles(df: DataFrame, subdir: Path,
+                         tuple: Map[String, String]): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(subdir.toString)
+      f.globStatus(new Path(subdir, "part-*.parquet")).toSeq.foreach { st =>
+        val rows = parquetRowCount(spark, st.getPath)
+        if (rows > 0) { // an empty delete file is legal but pure noise
+          deletedRows += rows
+          entries += deleteEntry(entrySchema, dfSchema, partSchema, pCols,
+            tuple, st.getPath.toUri.toString, st.getLen, rows,
+            content = 2, equalityIds = ids)
+        }
       }
+    }
+    val keyCols = keys.schema.fieldNames.toSet
+    if (pCols.nonEmpty && pCols.forall { case (n, _) => keyCols.contains(n) }) {
+      // partition-scoped: one delete file per distinct tuple among the keys
+      // (null partition value → that field stays unset = agnostic on it)
+      val tuples = keys.select(pCols.map(c => col(c._1)): _*).distinct()
+        .collect()
+        .map(r => pCols.zipWithIndex.collect {
+          case ((n, _), i) if !r.isNullAt(i) => n -> r.get(i).toString
+        }.toMap)
+        .toSeq.sortBy(_.toSeq.sortBy(_._1).mkString(" "))
+      tuples.zipWithIndex.foreach { case (tup, i) =>
+        val sub = pCols.foldLeft(keys) { case (d, (n, _)) =>
+          tup.get(n) match {
+            case Some(v) => d.filter(col(n).cast("string") === v)
+            case None => d.filter(col(n).isNull)
+          }
+        }
+        writeDeleteFiles(sub,
+          new Path(tableDir, s"data/snap-$snapshotId/eq-deletes-$i"), tup)
+      }
+    } else {
+      // partition-agnostic (global): single file, null partition tuple
+      writeDeleteFiles(keys,
+        new Path(tableDir, s"data/snap-$snapshotId/eq-deletes"), Map.empty)
     }
     commitDeleteSnapshot(spark, tableDir, meta, entrySchema, entries.toSeq,
       deletedRows, nowMs)

@@ -235,6 +235,45 @@ class IcebergSpec extends AnyFunSuite with SparkTest {
     pages.unpersist()
   }
 
+  test("equality deletes on a PARTITIONED table: tuple-scoped files when the " +
+    "keys carry the partition column, a null-tuple global file when not") {
+    val dir = tmpTable()
+    val pages = Pages.synthesize(spark, 120, nSites = 12).cache()
+    IcebergLite.append(pages, dir, partitionCols = Seq("lang"), nowMs = 1000L)
+    // scoped: keys include lang → one delete file per affected tuple,
+    // stamped so partition-filtered plans prune it
+    val doomed = pages.filter(col("lang") === "en" && crc32(col("url")) % 2 === 0)
+    IcebergLite.appendEqualityDeletes(spark, dir,
+      doomed.select("url", "lang"), nowMs = 2000L)
+    val afterScoped = IcebergLite.readTable(spark, dir)
+    assert(afterScoped.count() == pages.count() - doomed.count())
+    assert(afterScoped.join(doomed.select("url"), Seq("url"), "left_semi").count() == 0)
+    val planEn = IcebergLite.planScan(spark, dir, partitionFilter = Map("lang" -> "en"))
+    assert(planEn.eqDeletes.nonEmpty &&
+      planEn.eqDeletes.forall(_.partition.get("lang").contains("en")))
+    // a different-partition plan prunes the scoped delete file entirely
+    assert(IcebergLite.planScan(spark, dir,
+      partitionFilter = Map("lang" -> "de")).eqDeletes.isEmpty)
+    // global: keys WITHOUT the partition column → partition-agnostic file
+    // that every partition's plan keeps and applies
+    val doomedAll = pages.filter(crc32(col("url")) % 5 === 0)
+    IcebergLite.appendEqualityDeletes(spark, dir,
+      doomedAll.select("url"), nowMs = 3000L)
+    val afterGlobal = IcebergLite.readTable(spark, dir)
+    val expect = pages.exceptAll(doomed).filter(crc32(col("url")) % 5 =!= 0)
+    assert(afterGlobal.count() == expect.count())
+    val planDe = IcebergLite.planScan(spark, dir, partitionFilter = Map("lang" -> "de"))
+    assert(planDe.eqDeletes.exists(d => d.partition.get("lang").forall(_ == null)))
+    val deRows = IcebergLite.readTable(spark, dir, partitionFilter = Map("lang" -> "de"))
+    assert(deRows.count() == expect.filter(col("lang") === "de").count())
+    assert(deRows.join(doomedAll.select("url"), Seq("url"), "left_semi").count() == 0)
+    // sequence strictness still holds across partitions: re-append survives
+    IcebergLite.append(doomedAll, dir, partitionCols = Seq("lang"), nowMs = 4000L)
+    assert(IcebergLite.readTable(spark, dir).count() ==
+      expect.count() + doomedAll.count())
+    pages.unpersist()
+  }
+
   test("guards: empty partitioned append, unknown filter key, null partition value") {
     val dir = tmpTable()
     val pages = Pages.synthesize(spark, 40, nSites = 5)
