@@ -1218,6 +1218,31 @@ object SparkEntry {
       graft.ingest.IcebergLite.readTable(s, dir,
           partitionFilter = Map("lang" -> "en"))
         .select(col("doc_id"), col("lang"))
+    }),
+
+    "iceberg_mor_part" -> ((s, d) => {
+      // merge-on-read on a PARTITIONED table: append by lang (seq 1);
+      // equality-delete doc_id%7==1 with keys CARRYING lang (seq 2 — one
+      // tuple-stamped delete file per lang, so the lang=en read below
+      // plans exactly one of them); equality-delete doc_id%13==5 WITHOUT
+      // lang (seq 3 — one partition-agnostic null-tuple file every
+      // partition's plan keeps); re-append doc_id%26==5 (seq 4 — strictly
+      // newer than both deletes, so it survives them). The filtered read
+      // exercises tuple pruning AND both delete scopes in one plan.
+      val dir = icebergFixtureDir(s, d, "morpart")
+      val docs = t(s, d, "documents")
+      graft.ingest.IcebergLite.append(docs, dir,
+        partitionCols = Seq("lang"), nowMs = 1000L)
+      graft.ingest.IcebergLite.appendEqualityDeletes(s, dir,
+        docs.filter(col("doc_id") % 7 === 1).select("doc_id", "lang"),
+        nowMs = 2000L)
+      graft.ingest.IcebergLite.appendEqualityDeletes(s, dir,
+        docs.filter(col("doc_id") % 13 === 5).select("doc_id"), nowMs = 3000L)
+      graft.ingest.IcebergLite.append(docs.filter(col("doc_id") % 26 === 5),
+        dir, partitionCols = Seq("lang"), nowMs = 4000L)
+      graft.ingest.IcebergLite.readTable(s, dir,
+          partitionFilter = Map("lang" -> "en"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     })
   )
 
@@ -2441,7 +2466,14 @@ object SparkEntry {
         |WHERE doc_id % 20 = 3""".stripMargin,
 
     "iceberg_prune" ->
-      "SELECT doc_id, lang FROM documents WHERE lang = 'en'"
+      "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+
+    "iceberg_mor_part" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' AND doc_id % 7 <> 1 AND doc_id % 13 <> 5
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' AND doc_id % 26 = 5""".stripMargin
   )
 
   // ---- longer SQL bodies built with the same constants as the Scala code ----
