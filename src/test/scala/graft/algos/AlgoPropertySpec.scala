@@ -2,6 +2,7 @@ package graft.algos
 
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions.col
 import graft.SparkTestSession
 
 /** ScalaCheck guards for the two heaviest directed-graph operators: the
@@ -57,6 +58,95 @@ object AlgoPropertySpec extends Properties("AlgoProps") {
             numPartitions = 4).components
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         got == want
+      }
+    }
+
+  // undirected (symmetric, loop-free) edge sets over the same universe
+  val genUndirected: Gen[Set[(Long, Long)]] =
+    Gen.mapOf(for {
+      i <- Gen.chooseNum(0L, 6L); j <- Gen.chooseNum(0L, 6L) if i != j
+    } yield ((math.min(i, j), math.max(i, j)), ())).map(_.keySet)
+
+  private def sym(es: Set[(Long, Long)]): Seq[(Long, Long)] =
+    (es ++ es.map { case (a, b) => (b, a) }).toSeq
+
+  property("FastSV CC == driver union-find over range(n) incl. isolated ids") =
+    forAll(genUndirected) { es =>
+      import spark.implicits._
+      val n = 7L
+      // driver union-find, component id = min member (the FastSV convention)
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n.toInt).map(v => v.toLong -> find(v).toLong).toMap
+      val edgesDf =
+        if (es.isEmpty) spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+        else sym(es).toDF("src", "dst")
+      val got = ConnectedComponents.run(spark, edgesDf, n, numPartitions = 4)
+        .components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+
+  property("k-core(k=2) == driver peel: same vertex set, same in-core degrees") =
+    forAll(genUndirected) { es =>
+      if (es.isEmpty) true
+      else {
+        import spark.implicits._
+        // driver peel on the simple undirected graph
+        var live = es
+        var stable = false
+        while (!stable) {
+          val deg = live.toSeq.flatMap { case (a, b) => Seq(a, b) }
+            .groupBy(identity).map { case (v, g) => (v, g.size) }
+          val keep = deg.filter(_._2 >= 2).keySet
+          val next = live.filter { case (a, b) => keep(a) && keep(b) }
+          stable = next == live
+          live = next
+        }
+        val want = live.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+        val got = KCore.run(spark, sym(es).toDF("src", "dst"), k = 2,
+            numPartitions = 4).core
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want.toMap
+      }
+    }
+
+  property("MIS is independent and maximal on random graphs") =
+    forAll(genUndirected) { es =>
+      if (es.isEmpty) true
+      else {
+        import spark.implicits._
+        val res = MIS.run(spark, sym(es).toDF("src", "dst"), numPartitions = 4)
+        val got = res.mis.collect().map(_.getLong(0)).toSet
+        res.release()
+        val vs = es.flatMap { case (a, b) => Seq(a, b) }
+        val adj = (v: Long) => es.collect {
+          case (a, b) if a == v => b
+          case (a, b) if b == v => a
+        }
+        val independent = !es.exists { case (a, b) => got(a) && got(b) }
+        val maximal = vs.forall(v => got(v) || adj(v).exists(got))
+        independent && maximal
+      }
+    }
+
+  property("Jones-Plassmann coloring is proper and total on random graphs") =
+    forAll(genUndirected) { es =>
+      if (es.isEmpty) true
+      else {
+        import spark.implicits._
+        val got = Coloring.run(spark, sym(es).toDF("src", "dst"),
+            numPartitions = 4).colors
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val vs = es.flatMap { case (a, b) => Seq(a, b) }
+        val total = vs.forall(got.contains)
+        val proper = !es.exists { case (a, b) => got.get(a) == got.get(b) }
+        total && proper
       }
     }
 
