@@ -150,6 +150,138 @@ object AlgoPropertySpec extends Properties("AlgoProps") {
       }
     }
 
+  property("BFS levels == driver frontier expansion from source 0") =
+    forAll(genEdges) { es =>
+      import spark.implicits._
+      // driver BFS over the directed edge list; source 0 always level 0,
+      // present even when absent from the edge set (the engine's contract)
+      var want = Map(0L -> 0L)
+      var frontier = Set(0L)
+      var depth = 0L
+      while (frontier.nonEmpty) {
+        depth += 1
+        frontier = es.collect {
+          case (a, b) if frontier(a) && !want.contains(b) => b
+        }
+        want ++= frontier.map(_ -> depth)
+      }
+      val edgesDf =
+        if (es.isEmpty) spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+        else es.toSeq.toDF("src", "dst")
+      val got = BFS.levels(spark, edgesDf, source = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+
+  // weighted directed edges: integer weights 1..5 (exact in FP, so the
+  // distributed min_plus relaxation must equal the driver Bellman–Ford
+  // bit-for-bit)
+  val genWeighted: Gen[Map[(Long, Long), Double]] =
+    Gen.mapOf(for {
+      i <- Gen.chooseNum(0L, 6L); j <- Gen.chooseNum(0L, 6L)
+      w <- Gen.chooseNum(1, 5)
+    } yield ((i, j), w.toDouble))
+
+  property("SSSP min_plus == driver Bellman-Ford on random weighted digraphs") =
+    forAll(genWeighted) { es =>
+      if (es.isEmpty) true
+      else {
+        import spark.implicits._
+        val vs = es.keySet.flatMap { case (a, b) => Seq(a, b) }
+        var want = Map(0L -> 0.0)
+        var changed = true
+        while (changed) {
+          changed = false
+          es.foreach { case ((a, b), w) =>
+            want.get(a).foreach { da =>
+              if (want.get(b).forall(_ > da + w)) { want += b -> (da + w); changed = true }
+            }
+          }
+        }
+        val got = SSSP.run(spark,
+            es.toSeq.map { case ((a, b), w) => (a, b, w) }.toDF("src", "dst", "w"),
+            source = 0L, numPartitions = 4)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        got == want
+      }
+    }
+
+  property("mode-LPA(3 rounds) == driver synchronous simulation") =
+    forAll(genUndirected) { es =>
+      import spark.implicits._
+      val n = 7L
+      // driver sync LPA: adopt the most frequent neighbor label, ties to
+      // the smallest label, keep own label when isolated
+      val nbrs = (0L until n).map(v => v -> es.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }).toMap
+      var lbl = (0L until n).map(v => v -> v).toMap
+      for (_ <- 1 to 3) {
+        lbl = (0L until n).map { v =>
+          val votes = nbrs(v).toSeq.map(lbl).groupBy(identity)
+            .map { case (l, g) => (l, g.size) }
+          v -> (if (votes.isEmpty) lbl(v)
+                else votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1)
+        }.toMap
+      }
+      val edgesDf =
+        if (es.isEmpty) spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+        else sym(es).toDF("src", "dst")
+      val got = LabelPropagation.run(spark, edgesDf, n, numPartitions = 4,
+          maxIter = 3).labels
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == lbl
+    }
+
+  property("Betweenness(all sources) == driver Brandes to 1e-9") =
+    forAll(genEdges) { es0 =>
+      val es = es0.filter { case (a, b) => a != b } // self-loops never lie on a shortest path
+      if (es.isEmpty) true
+      else {
+        import spark.implicits._
+        val vs = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct.sorted
+        val out = (v: Long) => es.collect { case (a, b) if a == v => b }
+        val bc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        vs.foreach { s =>
+          // forward BFS with path counts
+          val dist = scala.collection.mutable.Map(s -> 0L)
+          val sigma = scala.collection.mutable.Map(s -> 1.0).withDefaultValue(0.0)
+          var order = Vector(s)
+          var frontier = Set(s)
+          var d = 0L
+          while (frontier.nonEmpty) {
+            d += 1
+            val next = scala.collection.mutable.Set.empty[Long]
+            frontier.foreach { v =>
+              out(v).foreach { w =>
+                if (!dist.contains(w)) next += w
+              }
+            }
+            next.foreach { w => dist(w) = d; order :+= w }
+            frontier.foreach { v =>
+              out(v).foreach { w => if (dist(w) == d) sigma(w) += sigma(v) }
+            }
+            frontier = next.toSet
+          }
+          // backward δ sweep in reverse BFS order
+          val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+          order.reverse.foreach { w =>
+            es.foreach { case (v, ww) =>
+              if (ww == w && dist.contains(v) && dist(v) + 1 == dist(w))
+                delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+            }
+          }
+          vs.foreach { v => if (v != s) bc(v) += delta(v) }
+        }
+        val want = bc.toMap.filter(_._2 > 0.0)
+        val got = Betweenness.run(spark, es.toSeq.toDF("src", "dst"), sources = vs)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        got.keySet == want.keySet &&
+          want.forall { case (v, x) => math.abs(got(v) - x) <= 1e-9 }
+      }
+    }
+
   property("BowTie == driver core/in/out/other classification") =
     forAll(genEdges) { es =>
       if (es.isEmpty) true
