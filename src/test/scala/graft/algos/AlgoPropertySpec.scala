@@ -282,6 +282,36 @@ object AlgoPropertySpec extends Properties("AlgoProps") {
       }
     }
 
+  property("PageRank(10 iters) == driver recurrence to 1e-12 on random digraphs") =
+    forAll(genEdges) { es =>
+      if (es.isEmpty) true
+      else {
+        import spark.implicits._
+        val n = 7L
+        val damping = 0.85
+        val teleport = (1.0 - damping) / n
+        // driver simulation of the engine's exact pagerank_3f recurrence:
+        // dense teleport completion, contributions v*damping/deg along
+        // out-edges, NO sink redistribution (sinks drop their mass)
+        val deg = es.toSeq.groupBy(_._1).map { case (v, g) => (v, g.size) }
+        var r = (0L until n).map(v => v -> 1.0 / n).toMap
+        for (_ <- 1 to 10) {
+          val gathered = es.toSeq
+            .map { case (u, v) => v -> r(u) * damping / deg(u) }
+            .groupBy(_._1).map { case (v, g) => (v, g.map(_._2).sum) }
+          r = (0L until n).map(v => v -> (teleport + gathered.getOrElse(v, 0.0))).toMap
+        }
+        val adj = graft.graph.Adjacency.build(es.toSeq.toDF("src", "dst"),
+          numVertices = n, numPartitions = 4)
+        val got = PageRank.run(spark, adj, damping = damping, tol = 0.0,
+            maxIter = 10).scores
+          .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+        adj.unpersist()
+        got.keySet == r.keySet &&
+          r.forall { case (v, x) => math.abs(got(v) - x) <= 1e-12 }
+      }
+    }
+
   property("BowTie == driver core/in/out/other classification") =
     forAll(genEdges) { es =>
       if (es.isEmpty) true
