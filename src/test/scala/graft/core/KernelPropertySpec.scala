@@ -203,4 +203,101 @@ object KernelPropertySpec extends Properties("Kernels") {
         .collect().map(_.getDouble(1))
       got.length == n && got.forall(_ == 1.0)
     }
+
+  /** naive sparse plus_times product on the driver (the mxm property's
+    * oracle, factored for reuse by the power property) */
+  private def naiveProduct(a: Map[(Long, Long), Double],
+                           b: Map[(Long, Long), Double]): Map[(Long, Long), Double] =
+    (for {
+      i <- 0L until 6L; j <- 0L until 6L
+      terms = (0L until 6L).flatMap(k =>
+        for { x <- a.get((i, k)); y <- b.get((k, j)) } yield x * y)
+      if terms.nonEmpty
+    } yield (i, j) -> terms.sum).toMap
+
+  property("power(n) == n-fold naive plus_times product; power(0) = I") =
+    forAll(genCoo, Gen.chooseNum(0, 3)) { (a, n) =>
+      import Extras._
+      val want =
+        if (n == 0) (0L until 6L).map(i => (i, i) -> 1.0).toMap
+        else (1 until n).foldLeft(a)((acc, _) => naiveProduct(acc, a))
+      collect(toM(a).power(n, Ops.plusTimes)) == want
+    }
+
+  property("kronecker(times) == driver block-index arithmetic") =
+    forAll(genCoo, genCoo) { (a, b) =>
+      val want = (for {
+        ((i1, j1), v1) <- a.toSeq; ((i2, j2), v2) <- b.toSeq
+      } yield ((i1 * 6 + i2, j1 * 6 + j2), v1 * v2)).toMap
+      val k = toM(a).kronecker(toM(b), Ops.times)
+      collect(k) == want && k.shape == GrbShape(36, 36)
+    }
+
+  property("selectK(2, largest) == driver per-row top-2 with (v desc, dst) ties") =
+    forAll(genCoo) { a =>
+      import Extras._
+      val want = a.toSeq.groupBy(_._1._1).flatMap { case (_, row) =>
+        row.sortBy { case ((_, j), v) => (-v, j) }.take(2)
+      }
+      collect(toM(a).selectK(2, largest = true)) == want.toMap
+    }
+
+  property("sortRowwise == driver (values, permutation) pair") =
+    forAll(genCoo) { a =>
+      import Extras._
+      val (vals, perm) = toM(a).sortRowwise(asc = true)
+      val want = a.toSeq.groupBy(_._1._1).toSeq.flatMap { case (i, row) =>
+        row.sortBy { case ((_, j), v) => (v, j) }.zipWithIndex.map {
+          case (((_, j), v), p) => ((i, p.toLong), v, j) }
+      }
+      // the permutation matrix carries LONG source indices, not doubles
+      val permGot = perm.df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      collect(vals) == want.map { case (k, v, _) => k -> v }.toMap &&
+        permGot == want.map { case (k, _, j) => k -> j }.toMap
+    }
+
+  property("compactify == driver dense squeeze keeping dst order") =
+    forAll(genCoo) { a =>
+      import Extras._
+      val want = a.toSeq.groupBy(_._1._1).flatMap { case (i, row) =>
+        row.sortBy(_._1._2).zipWithIndex.map {
+          case ((_, v), p) => (i, p.toLong) -> v }
+      }
+      collect(toM(a).compactify()) == want.toMap
+    }
+
+  property("scanRowwise(sum) == driver running prefix sums in dst order") =
+    forAll(genCoo) { a =>
+      import Extras._
+      val want = a.toSeq.groupBy(_._1._1).flatMap { case (_, row) =>
+        val sorted = row.sortBy(_._1._2)
+        sorted.zip(sorted.scanLeft(0.0)(_ + _._2).tail)
+          .map { case (((ij, _)), s) => ij -> s }
+      }
+      collect(toM(a).scanRowwise()) == want.toMap
+    }
+
+  property("reduce row/col/scalar (plus) == driver sums; transpose swaps") =
+    forAll(genCoo) { a =>
+      val m = toM(a)
+      val rows = m.reduceRowwise(Ops.plusMonoid).df.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val cols = m.reduceColumnwise(Ops.plusMonoid).df.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sc = m.reduceScalar(Ops.plusMonoid).map(_.asInstanceOf[Double])
+      val wantRows = a.toSeq.groupBy(_._1._1)
+        .map { case (i, g) => i -> g.map(_._2).sum }
+      val wantCols = a.toSeq.groupBy(_._1._2)
+        .map { case (j, g) => j -> g.map(_._2).sum }
+      val wantSc = if (a.isEmpty) None else Some(a.values.sum)
+      val t = collect(m.transpose)
+      rows == wantRows && cols == wantCols &&
+        ((sc, wantSc) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) => math.abs(x - y) <= 1e-12
+          case _ => false
+        }) &&
+        t == a.map { case ((i, j), v) => ((j, i), v) }
+    }
 }
