@@ -300,4 +300,57 @@ object KernelPropertySpec extends Properties("Kernels") {
         }) &&
         t == a.map { case ((i, j), v) => ((j, i), v) }
     }
+
+  /** The write clause `C(mask, accum, replace) << T` over every
+    * (complement × replace × accum ∈ {none, plus, minus}) combination —
+    * 12 combos per random (C, T, mask) draw — against a driver-side Map
+    * simulation of the reference spec (`fundamentals.rst:14-38`,
+    * `base.py:338-514`): Z = accum ? C ⊕_op T : T (overlaps combined
+    * old-op-new, singletons pass through); result = Z inside the write
+    * region, old C outside it unless replace. `minus` is in the accum set
+    * deliberately — it is non-commutative, so a swapped ewiseAddDF
+    * argument order (T ⊕ C) fails the guard where plus cannot. */
+  property("write clause: 12 (complement × replace × accum) combos == driver spec") = {
+    import spark.implicits._
+    val genVec: Gen[Map[Long, Double]] =
+      Gen.mapOf(for {
+        i <- Gen.chooseNum(0L, 7L); v <- Gen.chooseNum(-4, 4)
+      } yield (i, v.toDouble))
+    val genKeys: Gen[Set[Long]] = Gen.containerOf[Set, Long](Gen.chooseNum(0L, 7L))
+    def df(m: Map[Long, Double]) = m.toSeq.toDF("id", "v")
+    forAll(genVec, genVec, genKeys) { (c, t, mk) =>
+      val accums: Seq[(Option[BinaryOp], Option[(Double, Double) => Double])] =
+        Seq((None, None),
+          (Some(Ops.plus), Some((x: Double, y: Double) => x + y)),
+          (Some(Ops.minus), Some((x: Double, y: Double) => x - y)))
+      (for {
+        complement <- Seq(false, true)
+        replace <- Seq(false, true)
+        (accum, accumF) <- accums
+      } yield {
+        val z: Map[Long, Double] = accumF match {
+          case None => t
+          case Some(f) =>
+            (c.keySet ++ t.keySet).map { k =>
+              k -> ((c.get(k), t.get(k)) match {
+                case (Some(x), Some(y)) => f(x, y)
+                case (Some(x), None)    => x
+                case (None, Some(y))    => y
+                case _                  => 0.0 // unreachable: k drawn from the union
+              })
+            }.toMap
+        }
+        val region: Long => Boolean =
+          if (complement) k => !mk.contains(k) else mk.contains
+        val want = z.filter { case (k, _) => region(k) } ++
+          (if (replace) Map.empty[Long, Double]
+           else c.filter { case (k, _) => !region(k) })
+        val got = Kernels.write(df(c), df(t), Seq("id"),
+            Some(GrbMask(mk.toSeq.map(Tuple1(_)).toDF("id"), complement)),
+            accum, replace)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        got == want
+      }).forall(identity)
+    }
+  }
 }
