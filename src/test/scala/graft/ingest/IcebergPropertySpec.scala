@@ -14,7 +14,11 @@ import graft.SparkTestSession
   * spec's visibility rules says — position deletes remove currently
   * visible rows matching the predicate; equality deletes remove rows whose
   * key matches AND whose data sequence number is STRICTLY older; appends
-  * after a delete are never affected by it. */
+  * after a delete are never affected by it. The same run then TIME-TRAVELS
+  * to every committed snapshot — by snapshot-id AND by as-of-timestamp —
+  * and each historical read must equal the simulation's state at that op
+  * boundary (the spec's snapshot isolation: later deletes/appends are
+  * invisible to an earlier snapshot's plan). */
 object IcebergPropertySpec extends Properties("IcebergMergeOnRead") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
@@ -51,8 +55,10 @@ object IcebergPropertySpec extends Properties("IcebergMergeOnRead") {
         case Append(_, n) => val b = nextBatch; nextBatch += 1; Append(b, n)
         case o => o
       }
-      // driver simulation: (id, grp, v, seq); seq = 1-based op index
+      // driver simulation: (id, grp, v, seq); seq = 1-based op index.
+      // states(seq) = the visible rows right after op `seq` committed.
       var sim = Vector.empty[(Long, Long, Long, Int)]
+      val states = scala.collection.mutable.Map.empty[Int, Vector[(Long, Long, Long)]]
       ops.zipWithIndex.foreach { case (op, i) =>
         val seq = i + 1
         op match {
@@ -71,11 +77,21 @@ object IcebergPropertySpec extends Properties("IcebergMergeOnRead") {
             // strictly-older rule: every sim row has seq < this op's seq
             sim = sim.filterNot { case (_, g, _, s) => g % m == r && s < seq }
         }
+        states(seq) = sim.map { case (id, g, v, _) => (id, g, v) }.sorted
       }
-      val got = IcebergLite.readTable(spark, dir).collect()
-        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
-        .sorted.toVector
-      val want = sim.map { case (id, g, v, _) => (id, g, v) }.sorted
-      got == want
+      def read(snapshotId: Option[Long], asOfMs: Option[Long]) =
+        IcebergLite.readTable(spark, dir, snapshotId = snapshotId,
+            asOfMs = asOfMs).collect()
+          .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+          .sorted.toVector
+      val finalOk = read(None, None) == states(ops.size)
+      // time travel: each committed snapshot's ts is 1000·seq (stamped
+      // above), so the simulation state at that boundary is states(ts/1000);
+      // an op that committed nothing simply has no snapshot to visit.
+      val travelOk = IcebergLite.snapshots(spark, dir).forall { case (sid, ts) =>
+        val want = states((ts / 1000L).toInt)
+        read(Some(sid), None) == want && read(None, Some(ts)) == want
+      }
+      finalOk && travelOk
     }
 }
