@@ -67,11 +67,16 @@ object GraphStats {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .select(round(
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
-        6).as("assortativity"))
+      .select(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double").as("num"),
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("den"))
+      // zero degree variance on either side (e.g. a regular graph or a
+      // single self-loop) leaves Pearson r undefined — NaN, the networkx
+      // convention, rather than ANSI mode's DIVIDE_BY_ZERO error
+      .select(round(when(col("den") === 0.0, lit(Double.NaN))
+        .otherwise(col("num") / col("den")), 6).as("assortativity"))
   }
 
   /** Reciprocity of a DIRECTED edge set: |{(u,v) : (v,u) ∈ E}| / |E|.
