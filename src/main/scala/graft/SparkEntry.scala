@@ -638,6 +638,12 @@ object SparkEntry {
           Seq("src", "p"))
     }),
 
+    "head_vec" -> ((s, d) =>
+      // ss.head sort=true (`core/ss/vector.py:32`): first 25 stored elements
+      // by id — plans as TakeOrderedAndProject (per-partition top-n + n-row
+      // merge), never a full sort
+      vec1(s, d).head(25).df),
+
     "mask_and" -> ((s, d) => {
       // mask combination __and__ (`mask.py:86`): keys present in BOTH masks
       val a = GrbMask(vec1(s, d).df.select("id"))
@@ -1780,6 +1786,9 @@ object SparkEntry {
          |    AS BIGINT) AS p,
          |  v, CAST(dst AS BIGINT) AS perm
          |FROM ($sqlS)""".stripMargin,
+
+    "head_vec" ->
+      s"SELECT id, v FROM ($sqlV1) ORDER BY id LIMIT 25",
 
     "mask_and" ->
       s"""SELECT id, v FROM ($sqlV2)

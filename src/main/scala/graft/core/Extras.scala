@@ -134,6 +134,14 @@ object Extras {
           col(DST).cast("long").as(V)), m.shape))
     }
 
+    /** ss.head for matrices (`core/ss/matrix.py:44`): first n stored
+      * elements in (row, col) order when sort=true — TakeOrderedAndProject,
+      * no full sort; sort=false is a plain limit (order unguaranteed, as
+      * the reference documents). */
+    def head(n: Int, sort: Boolean = true): GrbMatrix =
+      if (sort) GrbMatrix(m.df.orderBy(col(SRC), col(DST)).limit(n), m.shape)
+      else GrbMatrix(m.df.limit(n), m.shape)
+
     /** ss.compactify (`core/ss/matrix.py:3869`): per-row squeeze of column
       * indices to dense 0..k-1 keeping dst order. */
     def compactify(): GrbMatrix = {
@@ -320,6 +328,15 @@ object Extras {
         .join(broadcast(offsets), Seq("_b"))
         .select((col("_off") + col("_rn")).as(ID), col(V)))
     }
+
+    /** ss.head for vectors (`core/ss/vector.py:32`): first n stored
+      * elements. sort=true is the deterministic contract (the n smallest
+      * ids) and plans as TakeOrderedAndProject — per-partition top-n plus
+      * an n-row driver merge, never a full sort; sort=false matches the
+      * reference's "order not guaranteed" and is a plain limit. */
+    def head(n: Int, sort: Boolean = true): GrbVector =
+      if (sort) v.copy(df = v.df.orderBy(col(ID)).limit(n))
+      else v.copy(df = v.df.limit(n))
 
     /** ss.scan for vectors (`core/ss/prefix_scan.py`): running fold in id
       * order. Single window partition — driver-fixture scale only; use the

@@ -155,6 +155,25 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(dm((0L, 1L)) == 2.0) // off-diagonal untouched
   }
 
+  test("head: first n stored elements in index order (ss/vector.py:32, ss/matrix.py:44)") {
+    // matrix: first 4 in (src, dst) order
+    val mh = collectM(matA.head(4))
+    assert(mh == coo.sortBy(e => (e._1, e._2)).take(4)
+      .map { case (i, j, v) => (i, j) -> v }.toMap)
+    // n >= nvals returns everything (reference short-circuits to to_coo)
+    assert(collectM(matA.head(1000)) == collectM(matA))
+    // vector: first 3 smallest ids
+    val v = GrbVector(spark.createDataFrame(Seq(
+      (9L, 1.0), (2L, 2.0), (5L, 3.0), (7L, 4.0))).toDF("id", "v"), 16)
+    assert(v.head(3).df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((2L, 2.0), (5L, 3.0), (7L, 4.0)))
+    // unsorted head still returns exactly n stored elements of the input
+    val un = v.head(3, sort = false).df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(un.size == 3 && un.subsetOf(
+      Set((9L, 1.0), (2L, 2.0), (5L, 3.0), (7L, 4.0))))
+  }
+
   test("flatten / reshape round trip (ss.flatten/reshape)") {
     val flat = matA.flatten()
     assert(flat.size == 49)

@@ -30,6 +30,17 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(df.queryExecution.analyzed.toString.contains("broadcast"))
   }
 
+  test("head(n, sort=true) plans as TakeOrderedAndProject, never a full sort") {
+    // ss.head's deterministic contract is "n smallest indices" — at 100 TB
+    // that must be per-partition top-n + an n-row driver merge, not a global
+    // Exchange+Sort. Spark's TakeOrderedAndProject is exactly that shape.
+    import Extras._
+    val v = GrbVector((0L until 1000L).map(i => (i, i * 0.5)).toDF("id", "v"), 1024)
+    val plan = v.head(10).df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("plus_pair mxm plans are value-free (iso-value via column pruning)") {
     // the reference stores pair-semiring operands iso-compressed
     // (`core/ss/matrix.py:197`); the Spark-native equivalent is that the
