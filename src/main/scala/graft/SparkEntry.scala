@@ -644,6 +644,11 @@ object SparkEntry {
       // merge), never a full sort
       vec1(s, d).head(25).df),
 
+    "head_mat" -> ((s, d) =>
+      // matrix twin (`core/ss/matrix.py:44`): first 20 stored elements in
+      // (src, dst) order — same TakeOrderedAndProject shape
+      matS(s, d).head(20).df),
+
     "mask_and" -> ((s, d) => {
       // mask combination __and__ (`mask.py:86`): keys present in BOTH masks
       val a = GrbMask(vec1(s, d).df.select("id"))
@@ -1789,6 +1794,9 @@ object SparkEntry {
 
     "head_vec" ->
       s"SELECT id, v FROM ($sqlV1) ORDER BY id LIMIT 25",
+
+    "head_mat" ->
+      s"SELECT src, dst, v FROM ($sqlS) ORDER BY src, dst LIMIT 20",
 
     "mask_and" ->
       s"""SELECT id, v FROM ($sqlV2)
