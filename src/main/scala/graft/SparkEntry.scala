@@ -1142,6 +1142,34 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "media_decode_png" -> ((s, d) => {
+      // REAL compressed decode: the payload is a spec-compliant PNG (zlib
+      // DEFLATE, row filters cycling None/Sub/Up/Average/Paeth, multi-IDAT,
+      // CRC-32 chunks) over the SAME pixel arithmetic as the PPM fixture —
+      // so a green hash against the pure-SQL oracle proves the whole
+      // inflate + filter-reconstruction chain, not just header parsing
+      val png = Media.synthesizePng(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      Media.decodePng(png, "png", "key")
+        .select(col("key").as("doc_id"), col("width"), col("height"),
+          col("n_channels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
+    "gzip_roundtrip" -> ((s, d) => {
+      // REAL gzip (DEFLATE) decompression of Common-Crawl-style compressed
+      // text payloads: the payload is the document's own text gzip'd
+      // task-side, so the oracle recomputes n_bytes/md5 from the PLAIN text
+      // column — the hashes only match if the decompressor is correct
+      val gz = Media.synthesizeGzip(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id")
+      Media.decompressGzip(gz, "gz", "key")
+        .select(col("key").as("doc_id"), col("n_bytes"), col("content_md5"))
+    }),
+
     "media_meta" -> ((s, d) =>
       Media.metadata(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -2456,6 +2484,21 @@ object SparkEntry {
         |    (doc_id * 37 + u.k * 101) % 256 AS v
         |  FROM documents, unnest(range(0, 432)) u(k))
         |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height,
+        |  round(CAST(sum(CASE WHEN chan = 0 THEN v END) AS DOUBLE) / 144, 6) AS mean_r,
+        |  round(CAST(sum(CASE WHEN chan = 1 THEN v END) AS DOUBLE) / 144, 6) AS mean_g,
+        |  round(CAST(sum(CASE WHEN chan = 2 THEN v END) AS DOUBLE) / 144, 6) AS mean_b
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    "gzip_roundtrip" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5 FROM documents""".stripMargin,
+
+    "media_decode_png" ->
+      """WITH p AS (SELECT doc_id, u.k % 3 AS chan,
+        |    (doc_id * 37 + u.k * 101) % 256 AS v
+        |  FROM documents, unnest(range(0, 432)) u(k))
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_channels,
         |  round(CAST(sum(CASE WHEN chan = 0 THEN v END) AS DOUBLE) / 144, 6) AS mean_r,
         |  round(CAST(sum(CASE WHEN chan = 1 THEN v END) AS DOUBLE) / 144, 6) AS mean_g,
         |  round(CAST(sum(CASE WHEN chan = 2 THEN v END) AS DOUBLE) / 144, 6) AS mean_b
