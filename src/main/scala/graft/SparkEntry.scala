@@ -1170,6 +1170,33 @@ object SparkEntry {
         .select(col("key").as("doc_id"), col("n_bytes"), col("content_md5"))
     }),
 
+    "media_decode_gif" -> ((s, d) => {
+      // REAL LZW decode: 64-entry palette and pixel indices from pure row
+      // arithmetic (odd keys interlaced), so the oracle recomputes the
+      // palette-mapped channel means in SQL — only a correct variable-width
+      // LZW decoder + palette mapping reproduces the hashes
+      val gif = Media.synthesizeGif(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      Media.decodeGif(gif, "gif", "key")
+        .select(col("key").as("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
+    "decompress_auto" -> ((s, d) => {
+      // Mixed-codec corpus ingest: payload per doc compressed with codec
+      // (doc_id mod 4) ∈ plain/gzip/zstd/bzip2; decompressAuto must sniff
+      // the magic AND decompress correctly for the oracle (computed from
+      // the plain text column) to hash-match on all four codec classes
+      val comp = Media.synthesizeCompressed(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id")
+      Media.decompressAuto(comp, "payload", "key")
+        .select(col("key").as("doc_id"), col("codec"), col("n_bytes"),
+          col("content_md5"))
+    }),
+
     "media_meta" -> ((s, d) =>
       Media.metadata(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -2491,6 +2518,22 @@ object SparkEntry {
 
     "gzip_roundtrip" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5 FROM documents""".stripMargin,
+
+    "media_decode_gif" ->
+      """WITH p AS (SELECT doc_id, (doc_id * 13 + u.k * 29) % 64 AS idx
+        |  FROM documents, unnest(range(0, 144)) u(k))
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height,
+        |  round(avg((doc_id + idx * 7) % 256), 6) AS mean_r,
+        |  round(avg((doc_id + idx * 7 + 31) % 256), 6) AS mean_g,
+        |  round(avg((doc_id + idx * 7 + 62) % 256), 6) AS mean_b
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    "decompress_auto" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
+        |    WHEN 2 THEN 'zstd' ELSE 'bzip2' END AS codec,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5 FROM documents""".stripMargin,
 
     "media_decode_png" ->
