@@ -1184,6 +1184,22 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "media_decode_jpeg" -> ((s, d) => {
+      // REAL baseline JPEG decode (pure-JVM Huffman + IDCT): the fixture
+      // class is exact under the lossy chain (block-constant gray, flat
+      // DC quantizer 8, restart markers every 2 MCUs), so the oracle
+      // recomputes the decoded means from pure arithmetic — only a correct
+      // entropy decoder + dequantizer + IDCT reproduces the hashes
+      val jpg = Media.synthesizeJpeg(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      Media.decodeJpeg(jpg, "jpg", "key")
+        .select(col("key").as("doc_id"), col("width"), col("height"),
+          col("n_components"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     "decompress_auto" -> ((s, d) => {
       // Mixed-codec corpus ingest: payload per doc compressed with codec
       // (doc_id mod 4) ∈ plain/gzip/zstd/bzip2; decompressAuto must sniff
@@ -2527,6 +2543,15 @@ object SparkEntry {
         |  round(avg((doc_id + idx * 7) % 256), 6) AS mean_r,
         |  round(avg((doc_id + idx * 7 + 31) % 256), 6) AS mean_g,
         |  round(avg((doc_id + idx * 7 + 62) % 256), 6) AS mean_b
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    "media_decode_jpeg" ->
+      """WITH p AS (SELECT doc_id, (doc_id * 31 + u.j * 53) % 256 AS v
+        |  FROM documents, unnest(range(0, 4)) u(j))
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_components,
+        |  round(avg(v), 6) AS mean_r, round(avg(v), 6) AS mean_g,
+        |  round(avg(v), 6) AS mean_b
         |FROM p GROUP BY doc_id""".stripMargin,
 
     "decompress_auto" ->

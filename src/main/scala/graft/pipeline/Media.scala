@@ -14,10 +14,14 @@ import org.apache.spark.sql.types._
   *    extraction are pure byte arithmetic, no codec library needed, and the
   *    oracle queries recompute the features from the payload-generating
   *    arithmetic, so the parsers themselves are hash-checked end to end.
-  *  - COMPRESSED formats whose codec lives in the JDK standard library get
-  *    REAL decoders too: PNG (zlib DEFLATE via java.util.zip.Inflater +
-  *    CRC-32 chunk verification + full filter reconstruction) below.
-  *  - COMPRESSED codecs with no JDK implementation (jpeg/mp3/h264) still
+  *  - COMPRESSED formats with a pure-JVM decode path get REAL decoders
+  *    too: PNG (zlib DEFLATE via java.util.zip.Inflater + CRC-32 chunk
+  *    verification + full filter reconstruction), baseline JPEG (pure-JVM
+  *    ITU-T T.81 Huffman + IDCT — see graft.pipeline.Jpeg), GIF
+  *    (pure-JVM variable-width LZW), and gzip/zstd/bzip2 text payloads
+  *    (zstd-jni and commons-compress ship inside the Spark distribution).
+  *  - COMPRESSED codecs with no pure-JVM story left (mp3/h264 — video and
+  *    perceptual audio) still
   *    go through `decodeStub` — those need native libraries this container
   *    doesn't ship; the stub keeps the distributed plumbing (schema,
   *    batching, partitioning) real and clearly marks the codec call site.
@@ -244,7 +248,7 @@ object Media {
   //
   // PNG is the one compressed media codec whose full decode chain lives in
   // the JDK's standard library (zlib inflate = java.util.zip.Inflater,
-  // CRC-32 = java.util.zip.CRC32), so unlike jpeg/mp3/h264 it needs no
+  // CRC-32 = java.util.zip.CRC32), so unlike mp3/h264 it needs no
   // native codec library and gets the same REAL-decoder treatment as
   // WAV/PPM. Written from the public PNG specification (RFC 2083 / W3C
   // PNG): 8-byte signature, length-type-data-CRC chunk stream, IHDR
@@ -869,6 +873,55 @@ object Media {
     spark.createDataFrame(rdd, gifSchema)
   }
 
+  // ---- REAL compressed-format decoder: baseline JPEG (pure JVM) ----
+
+  val jpegSchema: StructType = new StructType()
+    .add("key", LongType, false)
+    .add("width", LongType, false)
+    .add("height", LongType, false)
+    .add("n_components", LongType, false)
+    .add("mean_r", DoubleType, false)
+    .add("mean_g", DoubleType, false)
+    .add("mean_b", DoubleType, false)
+
+  /** Deterministic baseline-JPEG payload per key: 16×16 grayscale, four
+    * 8×8 blocks, block j's value = (key·31 + j·53) mod 256, with a
+    * restart interval of 2 so the RSTn path is on the oracle-checked
+    * route. The fixture class is EXACT under JPEG's lossy chain (see
+    * Jpeg's doc: flat DC quantizer 8, zero AC), so the DuckDB oracle
+    * recomputes the decoded means from pure arithmetic. */
+  def synthesizeJpeg(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = new StructType()
+      .add("key", LongType, false).add("jpg", BinaryType, false)
+    val rdd = df.select(col(keyCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val key = r.getLong(0)
+        val blocks = Array.tabulate(4)(j => (((key * 31 + j * 53) % 256) & 0xff).toInt)
+        Row(key, Jpeg.encodeGrayBlocks(16, 16, blocks, restartInterval = 2))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL baseline JPEG decode (pure JVM — see graft.pipeline.Jpeg):
+    * Huffman entropy decode, dequantize, IDCT, upsample, YCbCr→RGB,
+    * per-channel means. Progressive/arithmetic/12-bit and malformed
+    * payloads are DROPPED per the shared corpus-hygiene contract. */
+  def decodeJpeg(df: DataFrame, binCol: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(keyCol).cast("long"), col(binCol)).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val key = r.getLong(0)
+          Jpeg.decode(r.getAs[Array[Byte]](1)).map {
+            case (w, h, nc, mr, mg, mb) => Row(key, w, h, nc, mr, mg, mb)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, jpegSchema)
+  }
+
   // ---- multi-codec text payloads (mixed-format LLM corpora) ----
   //
   // Real pretraining corpora arrive in MIXED compression: Common Crawl
@@ -972,10 +1025,12 @@ object Media {
     spark.createDataFrame(rdd, decompressSchema)
   }
 
-  /** STUB DECODE (clearly marked): a real deployment would decode COMPRESSED
-    * image/audio payloads here with a native library, batched per partition.
-    * The fake derives deterministic pseudo-features from the bytes so tests
-    * can assert the full distributed plumbing (schema, partitioning, batch
+  /** STUB DECODE (clearly marked): a real deployment would decode the
+    * remaining codec tier — mp3/h264, i.e. perceptual audio and video —
+    * here with a native library, batched per partition (images are fully
+    * covered by the real PNG/JPEG/GIF/PPM decoders above). The fake
+    * derives deterministic pseudo-features from the bytes so tests can
+    * assert the full distributed plumbing (schema, partitioning, batch
     * shape) end to end. */
   def decodeStub(df: DataFrame, binCol: String, keyCol: String): DataFrame = {
     val spark = df.sparkSession
