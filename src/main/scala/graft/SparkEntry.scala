@@ -1142,6 +1142,17 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "media_decode_g711" -> ((s, d) => {
+      // REAL G.711 companded-audio decode (µ-law even keys, A-law odd):
+      // the oracle reimplements the ITU-T expansion formulas in SQL over
+      // the same byte arithmetic, so both codec tables are hash-checked
+      val wav = Media.synthesizeWavG711(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      Media.decodeWav(wav, "wav", "key")
+        .select(col("key").as("doc_id"), col("sample_rate"),
+          col("n_channels"), col("n_samples"), round(col("rms"), 6).as("rms"))
+    }),
+
     "media_decode_png" -> ((s, d) => {
       // REAL compressed decode: the payload is a spec-compliant PNG (zlib
       // DEFLATE, row filters cycling None/Sub/Up/Average/Paeth, multi-IDAT,
@@ -2560,6 +2571,34 @@ object SparkEntry {
         |    WHEN 2 THEN 'zstd' ELSE 'bzip2' END AS codec,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5 FROM documents""".stripMargin,
+
+    "media_decode_g711" ->
+      """WITH s AS (SELECT doc_id, (doc_id * 59 + u.i * 17) % 256 AS v
+        |  FROM documents, unnest(range(0, 64)) u(i)),
+        |e AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    -- ITU-T G.711 mu-law expansion: u = NOT v (8-bit)
+        |    CASE WHEN (255 - v) >= 128
+        |      THEN 132 - (((255 - v) % 16) * 8 + 132)
+        |             * CAST(pow(2, ((255 - v) // 16) % 8) AS BIGINT)
+        |      ELSE (((255 - v) % 16) * 8 + 132)
+        |             * CAST(pow(2, ((255 - v) // 16) % 8) AS BIGINT) - 132
+        |    END
+        |  ELSE
+        |    -- ITU-T G.711 A-law expansion: a = v XOR 0x55
+        |    CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END *
+        |    CASE WHEN (xor(v, 85) // 16) % 8 = 0
+        |           THEN (xor(v, 85) % 16) * 16 + 8
+        |         WHEN (xor(v, 85) // 16) % 8 = 1
+        |           THEN (xor(v, 85) % 16) * 16 + 264
+        |         ELSE ((xor(v, 85) % 16) * 16 + 264)
+        |           * CAST(pow(2, (xor(v, 85) // 16) % 8 - 1) AS BIGINT)
+        |    END
+        |  END AS s FROM s)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels, CAST(64 AS BIGINT) AS n_samples,
+        |  round(sqrt(CAST(sum(s * s) AS DOUBLE) / 64), 6) AS rms
+        |FROM e GROUP BY doc_id""".stripMargin,
 
     "media_decode_png" ->
       """WITH p AS (SELECT doc_id, u.k % 3 AS chan,

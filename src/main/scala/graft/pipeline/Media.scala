@@ -83,6 +83,39 @@ object Media {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic G.711 RIFF/WAVE payload per key: companded byte i =
+    * (key·59 + i·17) mod 256, fmt = µ-law (7) for even keys, A-law (6)
+    * for odd — pure row arithmetic, so the oracle reimplements the ITU-T
+    * expansion formulas in SQL and recomputes the RMS exactly. */
+  def synthesizeWavG711(df: DataFrame, keyCol: String, nSamples: Int = 64,
+                        sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    val schema = new StructType()
+      .add("key", LongType, false).add("wav", BinaryType, false)
+    val rdd = df.select(col(keyCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val key = r.getLong(0)
+        val fmt = if (key % 2 == 0) 7 else 6
+        val bb = java.nio.ByteBuffer.allocate(44 + nSamples)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(fmt.toShort).putShort(1) // G.711, mono
+          .putInt(sampleRate).putInt(sampleRate)
+          .putShort(1).putShort(8) // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(nSamples)
+        var i = 0
+        while (i < nSamples) {
+          bb.put((((key * 59 + i.toLong * 17) % 256) & 0xff).toByte)
+          i += 1
+        }
+        Row(key, bb.array())
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   val wavSchema: StructType = new StructType()
     .add("key", LongType, false)
     .add("sample_rate", LongType, false)
@@ -90,11 +123,32 @@ object Media {
     .add("n_samples", LongType, false)
     .add("rms", DoubleType, false)
 
-  /** REAL WAV decode: walks the RIFF chunk list, parses the PCM fmt header
-    * (rate/channels/bits little-endian), and computes RMS amplitude over
-    * the int16 samples — the standard audio-quality/silence filter of a
-    * multimodal pipeline. Malformed payloads (bad magic, non-PCM16, missing
-    * chunks) are DROPPED, the usual corpus-hygiene behavior. */
+  /** G.711 µ-law expansion (ITU-T G.711): 8-bit companded byte → 14-bit
+    * linear sample (the standard telephony/speech-corpus codec). */
+  private[graft] def ulawExpand(b0: Int): Int = {
+    val u = ~b0 & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion: 8-bit companded byte → 13-bit linear sample. */
+  private[graft] def alawExpand(b0: Int): Int = {
+    val a = b0 ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** REAL WAV decode: walks the RIFF chunk list, parses the fmt header
+    * (rate/channels/bits little-endian), and computes RMS amplitude —
+    * the standard audio-quality/silence filter of a multimodal pipeline.
+    * Three codec tiers: PCM16 (fmt 1, 16-bit), and the G.711 companded
+    * telephony codecs A-law (fmt 6) and µ-law (fmt 7), both 8-bit,
+    * expanded with the standard ITU-T tables before the RMS. Malformed
+    * payloads (bad magic, other codecs, wrong bit depth, missing chunks)
+    * are DROPPED, the usual corpus-hygiene behavior. */
   def decodeWav(df: DataFrame, binCol: String, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(keyCol).cast("long"), col(binCol)).rdd
@@ -105,7 +159,7 @@ object Media {
           if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") None
           else {
             var o = 12
-            var rate = -1L; var ch = -1L; var bits = -1
+            var rate = -1L; var ch = -1L; var bits = -1; var fmtCode = -1
             var dataOff = -1; var dataLen = 0
             while (o + 8 <= b.length) {
               // chunk size stays a Long (le32 is unsigned 0..2^32-1): a
@@ -116,11 +170,13 @@ object Media {
               // the payload (malformed rows are DROPPED, per the contract)
               val id = tag(b, o); val szL = le32(b, o + 4)
               if (id == "fmt " && o + 8 + 16 <= b.length) {
-                val fmt = le16(b, o + 8)
+                fmtCode = le16(b, o + 8)
                 ch = le16(b, o + 10).toLong
                 rate = le32(b, o + 12)
                 bits = le16(b, o + 22)
-                if (fmt != 1) rate = -1 // non-PCM -> reject
+                // supported codec/bit-depth pairs; others -> reject
+                if (!((fmtCode == 1 && bits == 16) ||
+                      ((fmtCode == 6 || fmtCode == 7) && bits == 8))) rate = -1
               } else if (id == "data") {
                 dataOff = o + 8
                 dataLen = math.min(szL, (b.length - dataOff).toLong).toInt
@@ -128,12 +184,16 @@ object Media {
               val next = o.toLong + 8L + szL + (szL & 1L) // word-aligned
               o = if (next > b.length) b.length else next.toInt
             }
-            if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0) None
+            if (rate <= 0 || ch <= 0 || dataOff < 0) None
             else {
-              val n = dataLen / 2
+              val n = dataLen / (bits / 8)
               var ss = 0.0; var i = 0
               while (i < n) {
-                val s = le16(b, dataOff + 2 * i).toShort.toDouble
+                val s = (fmtCode match {
+                  case 1 => le16(b, dataOff + 2 * i).toShort.toInt
+                  case 6 => alawExpand(b(dataOff + i) & 0xff)
+                  case _ => ulawExpand(b(dataOff + i) & 0xff)
+                }).toDouble
                 ss += s * s; i += 1
               }
               // unrounded: callers round with Spark's round() so the oracle
