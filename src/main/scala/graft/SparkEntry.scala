@@ -1142,6 +1142,22 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "text_normalize" -> ((s, d) => {
+      // Unicode canonicalization (the dedup-key front end) DIFFERENTIALLY
+      // tested against DuckDB's utf8proc: both sides independently build an
+      // accented variant (vowels -> precomposed accents) and a decomposed
+      // variant (a -> a + combining acute) of the same text, then our
+      // codegen NFC / strip-accents must hash-match nfc_normalize /
+      // strip_accents — two unrelated Unicode implementations agreeing
+      import graft.functions.UnicodeNorm
+      val accented = translate(col("text"), "aeiou", "áéíóú")
+      val decomposed = regexp_replace(col("text"), "a", "á")
+      t(s, d, "documents").select(col("doc_id"),
+        md5(encode(UnicodeNorm.nfc(decomposed), "UTF-8")).as("nfc_md5"),
+        md5(encode(UnicodeNorm.stripAccents(accented), "UTF-8")).as("strip_md5"),
+        md5(encode(lower(UnicodeNorm.stripAccents(accented)), "UTF-8")).as("fold_md5"))
+    }),
+
     "media_decode_g711" -> ((s, d) => {
       // REAL G.711 companded-audio decode (µ-law even keys, A-law odd):
       // the oracle reimplements the ITU-T expansion formulas in SQL over
@@ -2571,6 +2587,13 @@ object SparkEntry {
         |    WHEN 2 THEN 'zstd' ELSE 'bzip2' END AS codec,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5 FROM documents""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))) AS nfc_md5,
+        |  md5(strip_accents(translate(text, 'aeiou', 'áéíóú'))) AS strip_md5,
+        |  md5(lower(strip_accents(translate(text, 'aeiou', 'áéíóú')))) AS fold_md5
+        |FROM documents""".stripMargin,
 
     "media_decode_g711" ->
       """WITH s AS (SELECT doc_id, (doc_id * 59 + u.i * 17) % 256 AS v

@@ -183,4 +183,52 @@ object ExpressionPropertySpec extends Properties("ExpressionProps") {
         .select(col("t"), CharEntropy(col("t")).as("h")).collect()
       rows.forall(r => bits(r.getDouble(1)) == bits(driver(r.getString(0))))
     }
+
+  // ---- UnicodeNormalize (NFC / strip-accents canonicalization) ----
+
+  /** random text mixing ASCII, precomposed Latin accents, decomposed
+    * base+combining-mark pairs, and non-Latin (Greek/CJK) passthrough */
+  val genUniText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf("á", "é", "ñ", "ö", "ü", "ç", "Å"),
+    2 -> Gen.oneOf("á", "è", "ñ", "ö", "ů"),
+    1 -> Gen.oneOf("α", "ß", "ø", "中", " "))).map(_.mkString)
+
+  property("UnicodeNormalize NFC: codegen == java.text.Normalizer, composes decomposed pairs, idempotent, ASCII identity") =
+    forAll(Gen.listOfN(12, genUniText)) { ts =>
+      import spark.implicits._
+      val rows = ts.toDF("t")
+        .select(col("t"), UnicodeNorm.nfc(col("t")).as("n")).collect()
+      rows.forall { r =>
+        val (t, n) = (r.getString(0), r.getString(1))
+        n == java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) &&
+          java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFC) &&
+          // canonical equivalence preserved: NFD(out) == NFD(in)
+          java.text.Normalizer.normalize(n, java.text.Normalizer.Form.NFD) ==
+            java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD) &&
+          (!t.forall(_ < 0x80) || n == t)
+      }
+    }
+
+  property("UnicodeNormalize strip-accents: drops every Mn mark, keeps base letters, fixed known pairs") =
+    forAll(Gen.listOfN(12, genUniText)) { ts =>
+      import spark.implicits._
+      val known = Seq("á" -> "a", "á" -> "a", "ñ" -> "n", "ö" -> "o",
+        "Å" -> "A", "ø" -> "ø", "ß" -> "ß", "中" -> "中")
+      val rows = (ts ++ known.map(_._1)).toDF("t")
+        .select(col("t"), UnicodeNorm.stripAccents(col("t")).as("n")).collect()
+      val knownOk = known.forall { case (in, want) =>
+        rows.find(_.getString(0) == in).exists(_.getString(1) == want)
+      }
+      knownOk && rows.forall { r =>
+        val (t, n) = (r.getString(0), r.getString(1))
+        // no nonspacing marks survive, and the non-mark codepoint sequence
+        // of NFD(t) is exactly what remains
+        val nfd = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD)
+        val expect = nfd.codePoints().toArray
+          .filter(Character.getType(_) != Character.NON_SPACING_MARK)
+        n.codePoints().toArray.sameElements(expect) &&
+          (!t.forall(_ < 0x80) || n == t)
+      }
+    }
 }
