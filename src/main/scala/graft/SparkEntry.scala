@@ -7,7 +7,7 @@ import graft.core.Extras._
 import graft.graph.{Adjacency, Contraction}
 import graft.pipeline.UrlOps
 import graft.algos._
-import graft.pipeline.{Clustering, Dedup, Media, Sampling, Selection, Similarity, TextOps}
+import graft.pipeline.{Chunking, Clustering, Dedup, Media, Sampling, Selection, Similarity, TextOps}
 import graft.ingest.Pages
 import graft.runtime.IterationCheckpointer
 
@@ -958,6 +958,17 @@ object SparkEntry {
     "bm25_score" -> ((s, d) =>
       TextOps.bm25(t(s, d, "documents"), Seq("spark", "join", "table"))
         .select(col("doc_id"), round(col("bm25"), 9).as("bm25"))),
+
+    "chunk_windows" -> ((s, d) =>
+      // overlapping token-window chunking (retrieval/eval layout): zero
+      // shuffles, per-doc fan-out bounded by ceil(tokens/stride)
+      Chunking.chunkWindows(t(s, d, "documents"), window = 64, stride = 48)),
+
+    "pack_sequences" -> ((s, d) =>
+      // concat-and-chop context packing in 8 deterministic bin streams of
+      // budget-1024 sequences; pack identity is content-derived (doc_id),
+      // never layout-derived
+      Chunking.packSequences(t(s, d, "documents"), budget = 1024L, nBins = 8)),
 
     "tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(t(s, d, "documents"), k = 3)),
@@ -2094,6 +2105,9 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
         |FROM documents""".stripMargin,
+
+    "chunk_windows" -> Chunking.chunkWindowsSql(window = 64, stride = 48),
+    "pack_sequences" -> Chunking.packSequencesSql(budget = 1024L, nBins = 8),
 
     "bm25_score" ->
       """WITH dl AS (SELECT doc_id,

@@ -217,4 +217,25 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(scan.contains("ReadSchema") && !scan.contains("text"),
       s"projection must prune the text column from the scan:\n$scan")
   }
+
+  test("chunkWindows is shuffle-free; packSequences shuffles ONCE (the bin window)") {
+    // chunking must stay a per-row flatMap at 100 TB — scan → split-project
+    // → generate → slice-project, zero Exchanges. Packing's only wide step
+    // is the per-bin cumulative window: exactly one hashpartitioning
+    // Exchange on the bin key, never a global sort.
+    val docs = (0L until 200L)
+      .map(i => (i, (0 to (i % 17).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).length
+    val chunk = graft.pipeline.Chunking.chunkWindows(docs, 8, 6)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(chunk) == 0, s"chunking must not shuffle:\n$chunk")
+    val pack = graft.pipeline.Chunking.packSequences(docs, 16L, 4)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(pack) == 1, s"packing must shuffle exactly once:\n$pack")
+    assert(pack.contains("hashpartitioning(bin"),
+      s"the one exchange must partition by bin:\n$pack")
+    assert(!pack.contains("rangepartitioning"),
+      s"no global sort in packing:\n$pack")
+  }
 }
