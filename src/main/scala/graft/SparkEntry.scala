@@ -970,6 +970,31 @@ object SparkEntry {
       // never layout-derived
       Chunking.packSequences(t(s, d, "documents"), budget = 1024L, nBins = 8)),
 
+    "e2e_training_layout" -> ((s, d) => {
+      // the capstone composition a pipeline user actually runs: quality
+      // filter → exact dedup (min-doc_id winner per content hash) →
+      // deterministic train split → sequence packing, all in ONE
+      // declarative plan (filter pushes into the scan; the dedup window,
+      // the split, and the packing window are the only wide stages). Each
+      // stage is an already-oracle-verified operator; this row verifies
+      // the COMPOSITION against a single DuckDB CTE chain.
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+        .cast("double") / greatest(length(col("text")), lit(1))
+      val quality = t(s, d, "documents")
+        .filter(size(toks) >= 5 && alpha >= lit(0.55))
+      val dedup = quality
+        .withColumn("keep", min(col("doc_id"))
+          .over(Window.partitionBy(md5(encode(col("text"), "UTF-8")))))
+        .filter(col("doc_id") === col("keep"))
+      val train = Sampling.split(dedup, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+      Chunking.packSequences(train.select(col("doc_id"), col("text")),
+        budget = 256L, nBins = 4)
+    }),
+
     "tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(t(s, d, "documents"), k = 3)),
 
@@ -2108,6 +2133,31 @@ object SparkEntry {
 
     "chunk_windows" -> Chunking.chunkWindowsSql(window = 64, stride = 48),
     "pack_sequences" -> Chunking.packSequencesSql(budget = 1024L, nBins = 8),
+
+    "e2e_training_layout" -> {
+      val Seq(c1, _, _) = graft.pipeline.Sampling.thresholds(Seq(0.8, 0.1, 0.1))
+      val m = graft.pipeline.Sampling.M
+      s"""WITH q AS (SELECT doc_id, text FROM documents
+         |  WHERE len(regexp_split_to_array(trim(text), ' +')) >= 5
+         |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1) >= 0.55),
+         |k AS (SELECT doc_id, text,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM q),
+         |tr AS (SELECT doc_id, text FROM k WHERE doc_id = keep
+         |  AND (doc_id % $m) * 2654435761 % $m < $c1),
+         |d2 AS (SELECT doc_id, doc_id % 4 AS bin,
+         |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+         |  FROM tr),
+         |c AS (SELECT doc_id, bin, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_end FROM d2)
+         |SELECT doc_id, bin, n_tok,
+         |  (cum_end - n_tok) // 256 AS pack_first,
+         |  greatest(cum_end - n_tok, cum_end - 1) // 256 AS pack_last,
+         |  (cum_end - n_tok) % 256 AS pack_offset
+         |FROM c""".stripMargin
+    },
 
     "bm25_score" ->
       """WITH dl AS (SELECT doc_id,
