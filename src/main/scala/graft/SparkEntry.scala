@@ -970,6 +970,12 @@ object SparkEntry {
       // never layout-derived
       Chunking.packSequences(t(s, d, "documents"), budget = 1024L, nBins = 8)),
 
+    "pack_manifest" -> ((s, d) =>
+      // the pack-side inverse: per (pack, doc) token sub-ranges — what a
+      // trainer materializes fixed-budget sequences from. Full packs must
+      // sum to exactly the budget (asserted in ChunkingSpec)
+      Chunking.packManifest(t(s, d, "documents"), budget = 1024L, nBins = 8)),
+
     "e2e_training_layout" -> ((s, d) => {
       // the capstone composition a pipeline user actually runs: quality
       // filter → exact dedup (min-doc_id winner per content hash) →
@@ -2133,6 +2139,7 @@ object SparkEntry {
 
     "chunk_windows" -> Chunking.chunkWindowsSql(window = 64, stride = 48),
     "pack_sequences" -> Chunking.packSequencesSql(budget = 1024L, nBins = 8),
+    "pack_manifest" -> Chunking.packManifestSql(budget = 1024L, nBins = 8),
 
     "e2e_training_layout" -> {
       val Seq(c1, _, _) = graft.pipeline.Sampling.thresholds(Seq(0.8, 0.1, 0.1))

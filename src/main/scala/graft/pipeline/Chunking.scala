@@ -76,8 +76,10 @@ object Chunking {
     * a 100-TB bin stream overflows double-mantissa token offsets long
     * before it overflows int64.
     */
-  def packSequences(docs: DataFrame, budget: Long, nBins: Int): DataFrame = {
-    require(budget > 0 && nBins > 0)
+  /** per-doc stream coordinates shared by [[packSequences]] and
+    * [[packManifest]]: (doc_id, bin, n_tok, start_off, cum_end) with
+    * end-exclusive BIGINT offsets inside each bin's concat stream */
+  private def streamOffsets(docs: DataFrame, nBins: Int): DataFrame = {
     val nt = size(TextOps.tokens(col("text"))).cast("long")
     val w = Window.partitionBy(col("bin")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -87,10 +89,37 @@ object Chunking {
       .withColumn("cum_end", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("bin"), col("n_tok"),
         (col("cum_end") - col("n_tok")).as("start_off"), col("cum_end"))
+  }
+
+  def packSequences(docs: DataFrame, budget: Long, nBins: Int): DataFrame = {
+    require(budget > 0 && nBins > 0)
+    streamOffsets(docs, nBins)
       .select(col("doc_id"), col("bin"), col("n_tok"),
         expr(s"start_off div ${budget}L").as("pack_first"),
         expr(s"greatest(start_off, cum_end - 1) div ${budget}L").as("pack_last"),
         expr(s"start_off % ${budget}L").as("pack_offset"))
+  }
+
+  /** The pack-side view of [[packSequences]] — the manifest a trainer
+    * materializes sequences from: one row per (pack, doc) with the doc's
+    * local token sub-range `[tok_from, tok_from + n_slice)` that lands in
+    * that pack. Every pack except each bin's last sums to exactly
+    * `budget` slice tokens; a doc's slices are contiguous and sum to its
+    * token count; zero-token docs emit nothing (they occupy no stream
+    * space). Same shapes as packing itself: one bin-window shuffle, then
+    * a per-row explode bounded by ceil(n_tok/budget)+1 packs per doc. */
+  def packManifest(docs: DataFrame, budget: Long, nBins: Int): DataFrame = {
+    require(budget > 0 && nBins > 0)
+    streamOffsets(docs, nBins)
+      .select(col("doc_id"), col("bin"), col("n_tok"), col("start_off"),
+        explode(expr(
+          s"sequence(start_off div ${budget}L, greatest(start_off, cum_end - 1) div ${budget}L)"))
+          .as("pack_id"))
+      .select(col("bin"), col("pack_id"), col("doc_id"),
+        greatest(lit(0L), col("pack_id") * budget - col("start_off")).as("tok_from"),
+        (least(col("n_tok"), (col("pack_id") + 1) * budget - col("start_off")) -
+          greatest(lit(0L), col("pack_id") * budget - col("start_off"))).as("n_slice"))
+      .filter(col("n_slice") > 0)
   }
 
   /** The oracle twins (kept beside the operators so the two formulations
@@ -107,6 +136,27 @@ object Chunking {
        |  md5(array_to_string(toks[u.i*$stride+1 : u.i*$stride+$window], ' '))
        |    AS chunk_md5
        |FROM n, unnest(range(0, nc)) u(i)""".stripMargin
+
+  def packManifestSql(budget: Long, nBins: Int): String =
+    s"""WITH d AS (SELECT doc_id, doc_id % $nBins AS bin,
+       |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (SELECT doc_id, bin, n_tok,
+       |  CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_end FROM d),
+       |p AS (SELECT doc_id, bin, n_tok, cum_end - n_tok AS s, cum_end AS e
+       |  FROM c),
+       |x AS (SELECT doc_id, bin, n_tok, s, u.p AS pack_id
+       |  FROM p, unnest(range(s // $budget, greatest(s, e - 1) // $budget + 1))
+       |    u(p))
+       |SELECT bin, pack_id, doc_id,
+       |  greatest(0, pack_id * $budget - s) AS tok_from,
+       |  least(n_tok, (pack_id + 1) * $budget - s)
+       |    - greatest(0, pack_id * $budget - s) AS n_slice
+       |FROM x
+       |WHERE least(n_tok, (pack_id + 1) * $budget - s)
+       |    - greatest(0, pack_id * $budget - s) > 0""".stripMargin
 
   def packSequencesSql(budget: Long, nBins: Int): String =
     s"""WITH d AS (SELECT doc_id, doc_id % $nBins AS bin,

@@ -91,6 +91,41 @@ class ChunkingSpec extends AnyFunSuite with SparkTest {
     assert(rows.map(r => (r._1, r._4, r._5, r._6)).sorted.sameElements(b))
   }
 
+  test("packManifest: full packs sum to the budget, slices are contiguous and cover each doc") {
+    val texts = (0 until 80).map(d => (1 to (d * 11) % 29 + 1).map(i => s"y$i").mkString(" "))
+    val budget = 16L
+    val rows = Chunking.packManifest(mkDocs(texts), budget, nBins = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per-doc: slices contiguous from 0 and summing to the token count
+    rows.groupBy(_._3).foreach { case (doc, rs) =>
+      val bySeq = rs.sortBy(_._2) // pack_id order
+      val nTok = texts(doc.toInt).trim.split(" +").length.toLong
+      assert(bySeq.map(_._5).sum == nTok, s"doc $doc slice sum")
+      var at = 0L
+      bySeq.foreach { case (_, _, _, from, n) =>
+        assert(from == at, s"doc $doc slice contiguity"); at += n
+      }
+    }
+    // per-pack: every pack except each bin's last holds exactly `budget`
+    val byBin = rows.groupBy(_._1)
+    byBin.foreach { case (bin, rs) =>
+      val lastPack = rs.map(_._2).max
+      rs.groupBy(_._2).foreach { case (pack, slices) =>
+        val tot = slices.map(_._5).sum
+        if (pack < lastPack) assert(tot == budget, s"bin $bin pack $pack holds $tot")
+        else assert(tot <= budget)
+      }
+    }
+    // manifest agrees with packSequences' per-doc pack range
+    val seq = Chunking.packSequences(mkDocs(texts), budget, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    rows.groupBy(_._3).foreach { case (doc, rs) =>
+      val (pf, pl) = seq(doc)
+      assert(rs.map(_._2).min == pf && rs.map(_._2).max == pl, s"doc $doc range")
+    }
+  }
+
   test("packSequences: a doc longer than the budget spans packs; bins partition docs") {
     val texts = Seq(
       (1 to 50).map(i => s"a$i").mkString(" "), // 50 toks >> budget 16
