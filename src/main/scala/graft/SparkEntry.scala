@@ -191,7 +191,11 @@ object SparkEntry {
     }),
 
     "mxm_plus_times" -> ((s, d) => {
-      val m = matM(s, d)
+      // both operand sides of the square read the SAME relation —
+      // materialize it once instead of re-running the lineitem scan +
+      // dedup aggregation per side (guide §1.2: don't compute things twice)
+      val m0 = matM(s, d)
+      val m = GrbMatrix(Ckpt.materialize(m0.df).df, m0.shape)
       m.mxm(m, Ops.plusTimes).df
     }),
 

@@ -17,31 +17,36 @@ object BFS {
     // frontier expansion joins on src every round — persist pre-partitioned
     val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
     e.count()
-    var visited = Ckpt.materialize(Seq((source, 0L)).toDF("id", "level"))
-    var frontier = visited.df.select(col("id"))
-    var lastNext: Option[graft.core.CkptState] = None
+    // ONE job per level (guide §1.2/§2.4 — remove jobs, not tune them): the
+    // frontier size comes fused from the materialization (was a second job)
+    // and `visited` is the UNION of the per-level flat states (the MIS
+    // winners trick) instead of a re-materialized relation (was a third job).
+    // The union is k flat scans after k levels — the anti-join shuffles the
+    // same |visited| rows either way, so per-level work is unchanged.
+    val seed = Ckpt.materialize(Seq((source, 0L)).toDF("id", "level"))
+    // per-level states stay materialized: their blocks back the returned
+    // union (total |V| rows — the Coloring picks discipline)
+    var visitedPlan = seed.df
+    var frontier = seed.df.select(col("id"))
     var depth = 0L
     var frontierSize = 1L
     while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
-      val next = Ckpt.materialize(
+      val (next, n) = Ckpt.materializeWithCount(
         e.join(frontier, e("src") === frontier("id"))
           .select(e("dst").as("id")).distinct()
-          .join(visited.df, Seq("id"), "left_anti") // mask: ~visited.S
+          .join(visitedPlan, Seq("id"), "left_anti") // mask: ~visited.S
           .select(col("id"), lit(depth).as("level")))
-      frontierSize = next.df.count()
-      val newVisited = Ckpt.materialize(visited.df.unionByName(next.df))
-      visited.release()
-      lastNext.foreach(_.release()) // previous frontier, now consumed
-      lastNext = Some(next)
-      visited = newVisited
-      frontier = next.df.select(col("id"))
-      checkpointer.foreach(_.save(visited.df, depth.toInt,
+      frontierSize = n
+      if (n > 0) {
+        visitedPlan = visitedPlan.unionByName(next.df)
+        frontier = next.df.select(col("id"))
+      } else next.release()
+      checkpointer.foreach(_.save(visitedPlan, depth.toInt,
         Map("frontier" -> frontierSize.toString)))
     }
-    lastNext.foreach(_.release())
     e.unpersist()
-    visited.df
+    visitedPlan
   }
 
   /** Parent BFS (reference `Example B.3 -- Parent BFS.ipynb`): the notebook
@@ -61,27 +66,26 @@ object BFS {
     // shape is declarative only (ids are externally assigned); the kernels
     // never materialize the universe
     val a = GrbMatrix(e.withColumn("v", lit(1.0)), GrbShape(1L << 40, 1L << 40))
-    var visited = Ckpt.materialize(Seq((source, source)).toDF("id", "v"))
-    var frontier = visited.df
-    var lastNext: Option[CkptState] = None
+    // same ONE-job-per-level shape as `levels`: fused frontier count +
+    // union-of-flat-states visited (blocks back the returned frame)
+    val seed = Ckpt.materialize(Seq((source, source)).toDF("id", "v"))
+    var visitedPlan = seed.df
+    var frontier = seed.df
     var depth = 0
     var frontierSize = 1L
     while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
       val q = GrbVector(frontier, 1L << 40)
-      val notVisited = GrbMask(visited.df.select("id"), complement = true)
-      val next = Ckpt.materialize(
+      val notVisited = GrbMask(visitedPlan.select("id"), complement = true)
+      val (next, n) = Ckpt.materializeWithCount(
         q.vxm(a, Ops.semiring("min_firsti"), Some(notVisited)).df)
-      frontierSize = next.df.count()
-      val newVisited = Ckpt.materialize(visited.df.unionByName(next.df))
-      visited.release()
-      lastNext.foreach(_.release())
-      lastNext = Some(next)
-      visited = newVisited
-      frontier = next.df
+      frontierSize = n
+      if (n > 0) {
+        visitedPlan = visitedPlan.unionByName(next.df)
+        frontier = next.df
+      } else next.release()
     }
-    lastNext.foreach(_.release())
     e.unpersist()
-    visited.df.select(col("id"), col("v").cast("long").as("parent"))
+    visitedPlan.select(col("id"), col("v").cast("long").as("parent"))
   }
 }

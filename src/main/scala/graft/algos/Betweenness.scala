@@ -36,38 +36,41 @@ object Betweenness {
     val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
     e.count()
 
-    // ---- forward: per-level frontiers with exact shortest-path counts σ
+    // ---- forward: per-level frontiers with exact shortest-path counts σ.
+    // ONE job per level (was 3): the frontier count is fused into the
+    // materialization and `visited` is the union of the per-level flat
+    // states (the MIS winners trick) — the anti-join shuffles the same
+    // |visited| rows either way.
     val f0 = Ckpt.materialize(
       sources.map(s => (s, s, 1L)).toDF("source", "id", "sig"))
-    var visited = Ckpt.materialize(f0.df.select(col("source"), col("id")))
+    var visitedPlan = f0.df.select(col("source"), col("id"))
     val frontiers = scala.collection.mutable.ArrayBuffer[CkptState](f0)
     var depth = 0
-    var alive = f0.df.count()
+    var alive = sources.size.toLong
     while (alive > 0 && depth < maxDepth) {
       depth += 1
       val prev = frontiers.last.df
-      val next = Ckpt.materialize(
+      val (next, n) = Ckpt.materializeWithCount(
         e.join(prev, e("src") === prev("id"))
           .groupBy(prev("source"), e("dst").as("id"))
           .agg(sum(prev("sig")).as("sig"))
-          .join(visited.df, Seq("source", "id"), "left_anti"))
-      alive = next.df.count()
+          .join(visitedPlan, Seq("source", "id"), "left_anti"))
+      alive = n
       if (alive > 0) {
-        val nv = Ckpt.materialize(visited.df.unionByName(
-          next.df.select(col("source"), col("id"))))
-        visited.release()
-        visited = nv
+        visitedPlan = visitedPlan.unionByName(
+          next.df.select(col("source"), col("id")))
         frontiers += next
       } else next.release()
     }
-    visited.release()
     val dMax = frontiers.size - 1 // deepest non-empty level
 
     // ---- backward: δ sweep from level dMax-1 down to 1
     // level-dMax vertices have no in-radius successors -> δ = 0
+    // ONE job per backward level (was 2): per-level δ states accumulate as
+    // flat scans and union ONCE into the final aggregation (winners trick)
     var delta = Ckpt.materialize(frontiers(dMax).df
       .select(col("source"), col("id"), lit(0.0).as("delta")))
-    var bc: Option[CkptState] = None
+    val deltas = scala.collection.mutable.ListBuffer[CkptState]()
     for (l <- (dMax - 1) to 1 by -1) {
       val v = frontiers(l).df
       val w = frontiers(l + 1).df
@@ -81,23 +84,20 @@ object Betweenness {
           .groupBy(v("source"), v("id"))
           .agg(sum(v("sig").cast("double") / col("wsig") *
             (col("dw") + 1.0)).as("delta")))
-      val nbc = Ckpt.materialize(bc match {
-        case Some(acc) => acc.df.unionByName(dl.df)
-        case None      => dl.df
-      })
-      bc.foreach(_.release())
-      delta.release()
-      bc = Some(nbc)
+      if (deltas.isEmpty) delta.release() // the level-dMax all-zero seed
+      deltas += dl
       delta = dl
     }
-    delta.release()
-    frontiers.foreach(_.release())
     e.unpersist()
-    bc match {
-      case Some(acc) =>
-        acc.df.groupBy("id").agg(sum("delta").as("bc"))
-      case None => // radius-1 sample: nothing strictly between
-        Seq.empty[(Long, Double)].toDF("id", "bc")
+    // the per-level δ states back the returned aggregation (released with
+    // the session); frontiers beyond the seed are consumed
+    if (deltas.isEmpty) delta.release()
+    frontiers.foreach(_.release())
+    if (deltas.isEmpty) { // radius-1 sample: nothing strictly between
+      Seq.empty[(Long, Double)].toDF("id", "bc")
+    } else {
+      deltas.map(_.df).reduce(_.unionByName(_))
+        .groupBy("id").agg(sum("delta").as("bc"))
     }
   }
 }

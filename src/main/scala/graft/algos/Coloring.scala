@@ -58,13 +58,16 @@ object Coloring {
       // smallest color ∉ colored-neighbor palette; colors seen so far are
       // < rounds-1, so the candidate explode over [0, rounds) always finds
       // one — |cand|·rounds skinny rows, never an unbounded domain
+      // no distinct(): the consumer is a left_anti join, which is
+      // set-semantic on the probe side anyway — the distinct was a full
+      // extra exchange+aggregation on the wedge-sized neighbor-color rows
       val nc =
         if (coloredSoFar.isEmpty) null
         else e0.df
           .join(cand.df.withColumnRenamed("id", "cid"), col("src") === col("cid"))
           .join(coloredSoFar.reduce(_.unionByName(_))
             .withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-          .select(col("cid").as("id"), col("color").as("k")).distinct()
+          .select(col("cid").as("id"), col("color").as("k"))
       val kRange = cand.df.select(col("id"),
         explode(sequence(lit(0L), lit(rounds.toLong - 1))).as("k"))
       val pick = Ckpt.materialize(
@@ -76,13 +79,16 @@ object Coloring {
       val (newRem, n) = Ckpt.materializeWithCount(
         rem.df.join(removedIds, Seq("id"), "left_anti")
           .repartition(numPartitions, col("id")))
-      val ra = newRem.df.select(col("id").as("ra"))
-      val rb = newRem.df.select(col("id").as("rb"))
-      // dst join first, src join last: materialized state keeps hash(src)
-      // partitioning so next round's neighbor-min groupBy is exchange-free
+      // live-edge shrink as DELTA anti-joins against this round's colored
+      // set (e's endpoints are all in rem inductively, so dropping cand ≡
+      // keeping newRem): the join's build side is the small per-round delta
+      // — AQE broadcasts it and the (big) edge state is never re-shuffled
+      // (the KCore drop-side discipline). dst anti first, src anti last:
+      // either join strategy leaves the materialized state hash(src)-
+      // partitioned, so next round's neighbor-min groupBy is exchange-free
       val newE = Ckpt.materialize(
-        e.df.join(rb, col("dst") === col("rb"))
-          .join(ra, col("src") === col("ra"))
+        e.df.join(removedIds.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .join(removedIds.select(col("id").as("src")), Seq("src"), "left_anti")
           .select(col("src"), col("dst")))
       cand.release(); rem.release()
       if (e ne e0) e.release()

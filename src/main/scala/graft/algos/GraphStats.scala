@@ -270,17 +270,28 @@ object GraphStats {
     e.count()
     try {
       val supC = KTruss.supportCanon(e, numPartitions)
-      // symmetrize support onto each endpoint (supportCanon rows are already
-      // canonical src < dst); non-triangle edges get t = 0
-      val perEdge = e
-        .join(supC.df.select(col("src").as("_u"), col("dst").as("_v"),
-            col("sup")),
-          least(col("src"), col("dst")) === col("_u")
-            && greatest(col("src"), col("dst")) === col("_v"), "left")
-        .select(col("src").as("id"), coalesce(col("sup"), lit(0L)).as("t"))
-      val out = Ckpt.materialize(
-        perEdge.groupBy("id", "t").agg(count(lit(1)).as("n_edges")))
+      // Scatter the canonical support rows to BOTH endpoints directly and
+      // derive the t = 0 bucket by difference against the degree — the
+      // former full-edge-set left join on (least, greatest) expressions
+      // (an edge-scale shuffle + sort on derived keys) is gone; only the
+      // (much smaller) triangle-edge rows are shuffled, and deg comes from
+      // one hash aggregation over the persisted edge list. n_edges(id, 0)
+      // = deg(id) − #triangle edges at id, exactly the rows the old join
+      // produced for sup-less edges.
+      val supSym = supC.df.select(col("src").as("id"), col("sup").as("t"))
+        .unionByName(supC.df.select(col("dst").as("id"), col("sup").as("t")))
+      // (id, t ≥ 1) histogram — materialized once, feeds the t=0 difference
+      val pos = Ckpt.materialize(
+        supSym.groupBy("id", "t").agg(count(lit(1)).as("n_edges")))
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val npos = pos.df.groupBy("id").agg(sum(col("n_edges")).as("npos"))
+      val zero = deg.join(npos, Seq("id"), "left")
+        .select(col("id"), lit(0L).as("t"),
+          (col("deg") - coalesce(col("npos"), lit(0L))).as("n_edges"))
+        .filter(col("n_edges") > 0)
+      val out = Ckpt.materialize(pos.df.unionByName(zero))
       supC.release()
+      pos.release()
       out.df
     } finally e.unpersist(false)
   }

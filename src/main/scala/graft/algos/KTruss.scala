@@ -55,13 +55,17 @@ object KTruss {
     // orient lo→hi by (deg, id); ids are distinct so the order is total
     val lowFirst = col("ds") < col("dd") ||
       (col("ds") === col("dd") && col("src") < col("dst"))
+    // sorted at build (the Adjacency discipline): the wedge self-join on
+    // `lo` then runs zero-exchange AND zero-sort on both branches — the
+    // flat-state rewrap re-declares the (hash, sort) layout
     Ckpt.materialize(canon
       .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
       .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
       .select(
         when(lowFirst, col("src")).otherwise(col("dst")).as("lo"),
         when(lowFirst, col("dst")).otherwise(col("src")).as("hi"))
-      .repartition(numPartitions, col("lo")))
+      .repartition(numPartitions, col("lo"))
+      .sortWithinPartitions("lo"))
   }
 
   /** Wedge-close enumeration over a prebuilt (lo, hi) orientation frame:
@@ -79,7 +83,13 @@ object KTruss {
       .filter(col("b") < col("c"))
     val canon = od.select(least(col("lo"), col("hi")).as("cs"),
       greatest(col("lo"), col("hi")).as("cd"))
-    w.join(canon, col("b") === col("cs") && col("c") === col("cd"))
+    // close the wedges against the |E|-sized canonical set with a SHUFFLED
+    // HASH join (guide §3.1): the wedge side is Σ deg⁺² rows — sorting it
+    // (sort-merge, the planner default) costs far more than hashing the
+    // canonical build side, and the build side per partition is |E|/p.
+    // Broadcast is NOT safe here (canon is edge-scale at web size).
+    w.join(canon.hint("shuffle_hash"),
+        col("b") === col("cs") && col("c") === col("cd"))
       .select(col("lo").as("a"), col("b"), col("c"))
   }
 
@@ -140,11 +150,15 @@ object KTruss {
       val kept = Ckpt.materialize(
         scatterSupport(trianglesOf(od)).filter(col("sup") >= minSup))
       val keptDf = kept.df
-      val newO = Ckpt.materialize(od.join(keptDf,
+      // fused count: the convergence check rides the materialization job.
+      // shuffled-hash semi (guide §3.1): kept only SHRINKS over rounds, and
+      // hashing it beats sort-merge re-sorting the orientation frame
+      val (newO, n2) = Ckpt.materializeWithCount(od.join(
+          keptDf.hint("shuffle_hash"),
           least(col("lo"), col("hi")) === keptDf("src")
             && greatest(col("lo"), col("hi")) === keptDf("dst"), "left_semi")
-        .repartition(numPartitions, col("lo")))
-      val n2 = newO.df.count()
+        .repartition(numPartitions, col("lo"))
+        .sortWithinPartitions("lo"))
       o.release()
       if (lastKept != null) lastKept.release()
       o = newO

@@ -71,15 +71,17 @@ object MIS {
       val (newRem, n) = Ckpt.materializeWithCount(
         rem.df.join(removed, Seq("id"), "left_anti")
           .repartition(numPartitions, col("id")))
-      val ra = newRem.df.select(col("id").as("ra"))
-      val rb = newRem.df.select(col("id").as("rb"))
-      // dst-liveness join FIRST, src join LAST: the materialized edge state
-      // then carries hash(src) partitioning, so next round's neighbor-min
-      // groupBy AND the winner-neighborhood join are both exchange-free —
-      // one edge-wide shuffle per round (the unavoidable dst one), not three
+      // live-edge shrink as DELTA anti-joins against this round's removed
+      // set (e's endpoints are all in rem inductively, so dropping removed
+      // ≡ keeping newRem): the build side is the small per-round delta —
+      // AQE broadcasts it and the (big) edge state is never re-shuffled
+      // (the KCore drop-side discipline). dst anti FIRST, src anti LAST:
+      // the materialized edge state then carries hash(src) partitioning,
+      // so next round's neighbor-min groupBy AND the winner-neighborhood
+      // join stay exchange-free
       val newE = Ckpt.materialize(
-        e.df.join(rb, col("dst") === col("rb"))
-          .join(ra, col("src") === col("ra"))
+        e.df.join(removed.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .join(removed.select(col("id").as("src")), Seq("src"), "left_anti")
           .select(col("src"), col("dst")))
       winners += ((cand, rounds))
       rem.release(); e.release()

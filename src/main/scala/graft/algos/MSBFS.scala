@@ -38,47 +38,50 @@ object MSBFS {
     // bit index -> source vertex (tiny, broadcast into every decode join)
     val srcMap = broadcast(
       sources.zipWithIndex.map { case (v, i) => (i, v) }.toDF("sidx", "source"))
-    var visited = Ckpt.materialize(
+    // ONE job per level (was 4: next + count + visited + levels
+    // materializations): the frontier count comes fused from the next-wave
+    // materialization; `visited` is the bit_or re-aggregation of the UNION
+    // of per-level flat states (same shuffle volume the old per-level
+    // newVisited materialization paid, minus its separate job); decoded
+    // per-level rows accumulate as derived plans over those states and
+    // union ONCE at the end (the MIS winners trick).
+    val seed = Ckpt.materialize(
       sources.zipWithIndex.map { case (v, i) => (v, 1L << i) }.toDF("id", "mask"))
-    var levels = Ckpt.materialize(
-      sources.map(v => (v, v, 0L)).toDF("source", "id", "level"))
-    var frontier = visited.df // (id, mask): level-0 frontier = the sources
-    var lastNext: Option[CkptState] = None
+    var visitedPlan = seed.df // union of per-level (id, mask) flat states
+    val levelsOut = List.newBuilder[DataFrame]
+    levelsOut += sources.map(v => (v, v, 0L)).toDF("source", "id", "level")
+    var frontier = seed.df // (id, mask): level-0 frontier = the sources
     var depth = 0L
     var frontierSize = sources.size.toLong
     while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
       // one wave: gather = A'(lor_land) over the packed frontier, then the
       // complement mask as bit arithmetic on the visited join
-      val next = Ckpt.materialize(
+      val visitedAgg = visitedPlan.groupBy("id")
+        .agg(expr("bit_or(mask)").as("mask"))
+      val (next, n) = Ckpt.materializeWithCount(
         e.join(frontier.select(col("id"), col("mask").as("fmask")),
             e("src") === col("id"))
           .groupBy(e("dst").as("gid"))
           .agg(expr("bit_or(fmask)").as("gmask"))
-          .join(visited.df, col("gid") === visited.df("id"), "left")
+          .join(visitedAgg, col("gid") === visitedAgg("id"), "left")
           .select(col("gid").as("id"),
             col("gmask").bitwiseAND(
               bitwise_not(coalesce(col("mask"), lit(0L)))).as("mask"))
           .filter(col("mask") =!= 0L))
-      frontierSize = next.df.count()
-      val newVisited = Ckpt.materialize(
-        visited.df.unionByName(next.df)
-          .groupBy("id").agg(expr("bit_or(mask)").as("mask")))
-      val decoded = next.df.join(srcMap,
-          expr("(shiftright(mask, CAST(sidx AS INT)) & 1) = 1"))
-        .select(col("source"), col("id"), lit(depth).as("level"))
-      val newLevels = Ckpt.materialize(levels.df.unionByName(decoded))
-      visited.release(); levels.release()
-      lastNext.foreach(_.release())
-      lastNext = Some(next)
-      visited = newVisited
-      levels = newLevels
-      frontier = next.df
+      frontierSize = n
+      if (n > 0) {
+        val d = depth
+        levelsOut += next.df.join(srcMap,
+            expr("(shiftright(mask, CAST(sidx AS INT)) & 1) = 1"))
+          .select(col("source"), col("id"), lit(d).as("level"))
+        visitedPlan = visitedPlan.unionByName(next.df)
+        frontier = next.df
+      } else next.release()
     }
-    lastNext.foreach(_.release())
     e.unpersist()
-    visited.release()
-    levels.df
+    // per-level states stay materialized — their blocks back the result
+    levelsOut.result().reduce(_.unionByName(_))
   }
 
   /** Seed-sampled harmonic centrality (Boldi–Vigna, "Axioms for

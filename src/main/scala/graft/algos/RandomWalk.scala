@@ -50,15 +50,20 @@ object RandomWalk {
       .sortWithinPartitions("src").persist()
     e.count()
     val starts = e.select(col("src").as("walk")).distinct()
-    var frontier = Ckpt.materialize(
+    // ONE job per step: the alive count is fused into the materialization
+    // (was a second job per step), and the final re-materialization of the
+    // already-flat union is gone — the per-step states back the returned
+    // union directly (the MIS winners discipline; total size = the corpus).
+    val (f0, n0) = Ckpt.materializeWithCount(
       starts.select(col("walk"), lit(0L).as("step"), col("walk").as("id")))
+    var frontier = f0
     var corpus = frontier.df
     val states = scala.collection.mutable.ListBuffer[CkptState](frontier)
     var t = 0
-    var alive = frontier.df.count()
+    var alive = n0
     while (alive > 0 && t < walkLength) {
       t += 1
-      val next = Ckpt.materialize(
+      val (next, n) = Ckpt.materializeWithCount(
         e.join(frontier.df.select(col("walk"), col("id")),
             e("src") === col("id"))
           .select(col("walk"),
@@ -68,15 +73,12 @@ object RandomWalk {
           .agg(min(col("hd")).as("m"))
           .select(col("walk"), lit(t.toLong).as("step"),
             col("m.dst").as("id")))
-      alive = next.df.count()
-      corpus = corpus.unionByName(next.df)
+      alive = n
+      if (n > 0) corpus = corpus.unionByName(next.df)
       states += next
       frontier = next
     }
-    val out = Ckpt.materialize(corpus)
-    out.df.count()
-    states.foreach(_.release())
     e.unpersist()
-    out.df
+    corpus
   }
 }

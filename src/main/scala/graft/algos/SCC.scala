@@ -51,10 +51,12 @@ object SCC {
           maxRounds: Int = 64, maxColorIters: Int = 256): SCCResult = {
     var eState = Ckpt.materialize(edges.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src")))
-    var vState = Ckpt.materialize(eState.df.select(col("src").as("id"))
-      .unionByName(eState.df.select(col("dst").as("id"))).distinct()
-      .repartition(numPartitions, col("id")))
-    var nVerts = vState.df.count()
+    val (vState0, nVerts0) = Ckpt.materializeWithCount(
+      eState.df.select(col("src").as("id"))
+        .unionByName(eState.df.select(col("dst").as("id"))).distinct()
+        .repartition(numPartitions, col("id")))
+    var vState = vState0
+    var nVerts = nVerts0
 
     val nTotal = nVerts
 
@@ -124,13 +126,12 @@ object SCC {
         .select(col("id"), col("c").as("scc"))
 
       // ---- 4. assign and peel ------------------------------------------
-      val newAssigned = Ckpt.materialize(
+      // fused count: the all-assigned exit check rides the materialization
+      val (newAssigned, nAssigned) = Ckpt.materializeWithCount(
         assigned.df.unionByName(trimmed).unionByName(sccOfMarked))
       // common last-round exit: everything assigned → skip building (and
-      // shuffling) a next-round vertex/edge state that would be empty. The
-      // count scans the just-materialized flat rdd — one cheap job replaces
-      // four (newV/newE materializations + their counts).
-      if (newAssigned.df.count() == nTotal) {
+      // shuffling) a next-round vertex/edge state that would be empty.
+      if (nAssigned == nTotal) {
         eLiveState.release(); intraState.release()
         cState.release(); bState.release()
         assigned.release()
@@ -143,7 +144,7 @@ object SCC {
         // round-sized
         val peeled = trimmed.select("id").unionByName(sccOfMarked.select("id"))
 
-        val newVState = Ckpt.materialize(
+        val (newVState, nv) = Ckpt.materializeWithCount(
           verts.join(peeled, Seq("id"), "left_anti")
             .repartition(numPartitions, col("id")))
         val newEState = Ckpt.materialize(e
@@ -151,7 +152,6 @@ object SCC {
           .join(peeled.select(col("id").as("dst")), Seq("dst"), "left_anti")
           .select(col("src"), col("dst"))
           .repartition(numPartitions, col("src")))
-        val nv = newVState.df.count()
 
         eLiveState.release()
         intraState.release()

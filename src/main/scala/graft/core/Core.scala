@@ -459,8 +459,22 @@ final case class GrbMatrix(df: DataFrame, shape: GrbShape) {
     var prod = l.join(r, col("_k") === col("_k2"))
       .select(col("_i").as(SRC), col("_j").as(DST), multCol.as("_m"))
     mask.foreach { m => prod = Kernels.maskFilter(prod, m, Seq(SRC, DST)) }
-    GrbMatrix(prod.groupBy(SRC, DST).agg(s.add.agg(col("_m")).as(V)),
-      GrbShape(shape.nrows, other.shape.ncols))
+    val nc = other.shape.ncols
+    val out =
+      if (nc > 0 && shape.nrows <= Long.MaxValue / nc) {
+        // PACKED group key (guide §2.3 — narrower shuffle keys): the
+        // (src, dst) pair folds into ONE non-negative long src*ncols+dst
+        // (exact while nrows*ncols fits int64 — guarded), halving the
+        // aggregation key bytes of the wedge-scale product stream and
+        // turning the hash-agg probe into a single-word compare. Unpacked
+        // by exact integer div/mod on the (much smaller) group rows.
+        prod.select((col(SRC) * nc + col(DST)).as("_sd"), col("_m"))
+          .groupBy("_sd").agg(s.add.agg(col("_m")).as(V))
+          // integer DIV, not `/`: double division corrupts keys above 2^53
+          .select(expr(s"_sd DIV ${nc}L").as(SRC),
+            (col("_sd") % nc).as(DST), col(V))
+      } else prod.groupBy(SRC, DST).agg(s.add.agg(col("_m")).as(V))
+    GrbMatrix(out, GrbShape(shape.nrows, other.shape.ncols))
   }
 
   /** extract k-th diagonal → Vector (`matrix.py:720` / GxB_Vector_diag):
