@@ -38,27 +38,39 @@ object MinReach {
       init.repartition(numPartitions, col("id")))
     var changed = true
     var iters = 0
-    while (changed && iters < maxIters) {
-      val c = state.df
+    // one (relax + jump) step as a derived plan over (id, c, _c0): _c0 (the
+    // label at the START of the materialized job) rides along so the change
+    // flag needs no join-back. Jumping through the step's OWN relax result
+    // (c1∘c1): a stale jump through the materialized previous state
+    // (FastSV's gp = f[f]) was measured SLOWER here despite touching only
+    // flat scans — by the time colors coalesce, the jump join keys collapse
+    // onto the few surviving colors and the extra exchange pair is
+    // skew-bound; the derived-plan self-join costs one repeated edge gather
+    // but rides the same stages.
+    def step(c: DataFrame): DataFrame = {
       val cu = c.select(col("id").as("_u"), col("c").as("_cu"))
       val upd = edges.join(cu, col("src") === col("_u"))
         .groupBy(col("dst").as("id")).agg(min(col("_cu")).as("_m"))
-      // jump through this step's own relax result (c1∘c1). A stale jump
-      // through the materialized previous state (FastSV's gp = f[f]) was
-      // measured SLOWER here despite touching only flat scans: by the time
-      // colors coalesce, the jump join keys collapse onto the few surviving
-      // colors and the extra exchange pair is skew-bound — the derived-plan
-      // self-join costs one repeated edge gather but rides the same stages
       val relax = c.join(upd, Seq("id"), "left")
         .select(col("id"),
           least(col("c"), coalesce(col("_m"), col("c"))).as("c1"),
-          col("c").as("_c0"))
+          col("_c0"))
       val jmpMap = relax.select(col("id").as("_j"), col("c1").as("_cj"))
-      val next = relax.join(jmpMap, col("c1") === col("_j"), "left")
+      relax.join(jmpMap, col("c1") === col("_j"), "left")
         .select(col("id"),
           least(col("c1"), coalesce(col("_cj"), col("c1"))).as("c"),
-          when(least(col("c1"), coalesce(col("_cj"), col("c1"))) < col("_c0"),
-            1.0).otherwise(0.0).as("_chg"))
+          col("_c0"))
+    }
+    while (changed && iters < maxIters) {
+      val c0 = state.df.select(col("id"), col("c"), col("c").as("_c0"))
+      // ONE step per materialized job. A fused double step (step∘step, the
+      // fixpoint is schedule-independent so it would be correct) was
+      // MEASURED 3× the per-job cost here — the step-1 subtree feeds both
+      // the step-2 gather and the step-2 merge branch and recomputes, so
+      // the halved job count lost to the per-job blowup.
+      val next = step(c0)
+        .select(col("id"), col("c"),
+          when(col("c") < col("_c0"), 1.0).otherwise(0.0).as("_chg"))
       val t0 = System.nanoTime()
       val (nextState, nChanged) = Ckpt.materializeWithSum(next, "_chg")
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
