@@ -39,20 +39,30 @@ object Coloring {
     val M = Sampling.M
     val e0 = Ckpt.materialize(edgesSym.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src")))
-    var (rem, nRem) = Ckpt.materializeWithCount(
+    val (rem0, nRem0) = Ckpt.materializeWithCount(
       e0.df.select(col("src").as("id"))
         .distinct().repartition(numPartitions, col("id")))
+    // `rem` lives as a DERIVED plan — rem0 minus the union of per-round
+    // pick states (all flat scans) — instead of a re-materialized state:
+    // saves one materialization + count job per round. The loop exit rides
+    // the pick count: while any vertex is uncolored, the global
+    // (priority, id)-minimum uncolored vertex beats all its uncolored
+    // neighbors, so cand (= pick) is nonempty — pick count 0 ⟺ rem empty.
+    var nColored = 0L
     var e = e0 // live (uncolored-to-uncolored) edges; round 0 = all
     val picks = List.newBuilder[CkptState]
     var coloredSoFar = List.empty[DataFrame]
     var rounds = 0
-    while (nRem > 0 && rounds < maxRounds) {
+    while (nColored < nRem0 && rounds < maxRounds) {
       rounds += 1
+      val rem = coloredSoFar.map(_.select(col("id")))
+        .reduceOption(_.unionByName(_))
+        .fold(rem0.df)(c => rem0.df.join(c, Seq("id"), "left_anti"))
       def pk(c: Column) = struct((c % M * Sampling.saltedMultiplier(rounds) % M)
         .as("p"), c.as("t"))
       val nbrMin = e.df.select(col("src").as("id"), pk(col("dst")).as("k"))
         .groupBy("id").agg(min(col("k")).as("mk"))
-      val cand = Ckpt.materialize(rem.df.join(nbrMin, Seq("id"), "left")
+      val cand = Ckpt.materialize(rem.join(nbrMin, Seq("id"), "left")
         .filter(col("mk").isNull || pk(col("id")) < col("mk"))
         .select(col("id")))
       // smallest color ∉ colored-neighbor palette; colors seen so far are
@@ -70,33 +80,30 @@ object Coloring {
           .select(col("cid").as("id"), col("color").as("k"))
       val kRange = cand.df.select(col("id"),
         explode(sequence(lit(0L), lit(rounds.toLong - 1))).as("k"))
-      val pick = Ckpt.materialize(
+      val (pick, nPicked) = Ckpt.materializeWithCount(
         (if (nc == null) kRange else kRange.join(nc, Seq("id", "k"), "left_anti"))
           .groupBy("id").agg(min(col("k")).as("color")))
       picks += pick
       coloredSoFar ::= pick.df
       val removedIds = cand.df
-      val (newRem, n) = Ckpt.materializeWithCount(
-        rem.df.join(removedIds, Seq("id"), "left_anti")
-          .repartition(numPartitions, col("id")))
       // live-edge shrink as DELTA anti-joins against this round's colored
-      // set (e's endpoints are all in rem inductively, so dropping cand ≡
-      // keeping newRem): the join's build side is the small per-round delta
-      // — AQE broadcasts it and the (big) edge state is never re-shuffled
-      // (the KCore drop-side discipline). dst anti first, src anti last:
-      // either join strategy leaves the materialized state hash(src)-
-      // partitioned, so next round's neighbor-min groupBy is exchange-free
+      // set (e's endpoints are all uncolored inductively, so dropping cand
+      // ≡ keeping the uncolored survivors): the join's build side is the
+      // small per-round delta — AQE broadcasts it and the (big) edge state
+      // is never re-shuffled (the KCore drop-side discipline). dst anti
+      // first, src anti last: either join strategy leaves the materialized
+      // state hash(src)-partitioned, so next round's neighbor-min groupBy
+      // is exchange-free
       val newE = Ckpt.materialize(
         e.df.join(removedIds.select(col("id").as("dst")), Seq("dst"), "left_anti")
           .join(removedIds.select(col("id").as("src")), Seq("src"), "left_anti")
           .select(col("src"), col("dst")))
-      cand.release(); rem.release()
+      cand.release()
       if (e ne e0) e.release()
-      rem = newRem
       e = newE
-      nRem = n
+      nColored += nPicked
     }
-    rem.release()
+    rem0.release()
     if (e ne e0) e.release()
     // e0 and the picks stay materialized: their blocks back the returned
     // frame (total size |V| + |E|-partitioned scan state, session-scoped)

@@ -2,7 +2,7 @@ package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Ckpt, Kernels, Ops}
+import graft.core.Ckpt
 
 /** Single-source shortest paths over the min_plus semiring — the reference's
   * introductory algorithm (`/root/reference/notebooks/Intro to GraphBLAS +
@@ -34,12 +34,16 @@ object SSSP {
       val dl = d.select(col("id").as("_i"), col("v").as("_dv"))
       val cand = e.join(dl, col("src") === col("_i"))
         .groupBy(col("dst").as("id")).agg(min(col("_dv") + col("w")).as("v"))
-      val merged = Kernels.ewiseAddDF(d.select("id", "v"), cand, Seq("id"), Ops.minBin)
-      // fused change flag: new id appears (no _pv) or distance improved
-      val prev = d.select(col("id").as("_pid"), col("v").as("_pv"))
-      val stepped = merged.join(prev, col("id") === col("_pid"), "left_outer")
-        .select(col("id"), col("v"),
-          when(col("_pv").isNull || col("v") < col("_pv"), 1.0).otherwise(0.0).as("_chg"))
+      // ONE full-outer join does the min-accumulate merge AND the change
+      // flag (the old shape re-joined the merged result against the prior
+      // state — a second join + exchange per round carrying no new
+      // information: both operands are already present in the merge)
+      val stepped = d.select(col("id"), col("v").as("_pv"))
+        .join(cand.select(col("id"), col("v").as("_cv")), Seq("id"), "full_outer")
+        .select(col("id"),
+          least(col("_pv"), coalesce(col("_cv"), col("_pv"))).as("v"),
+          when(col("_pv").isNull || col("_cv") < col("_pv"), 1.0)
+            .otherwise(0.0).as("_chg"))
       val (newState, nChanged) = Ckpt.materializeWithSum(stepped, "_chg")
       changed = nChanged > 0
       state.release()
