@@ -69,8 +69,13 @@ object Selection {
     * Ckpt rewrap) and both count joins run SHUFFLED on 62-bit ids: the
     * vocabulary of a web corpus is unbounded, so neither side is
     * broadcast-safe. */
-  def lmBits(docs: DataFrame, k: Double = 0.5): DataFrame =
-    scoreLm(docs, trainLm(docs), k)
+  def lmBits(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    // train and score read the SAME corpus here — materialize the occurrence
+    // projection once so the tokenize + per-doc window pass (the expensive
+    // part of both) runs a single time (guide §1.2)
+    val occ = Ckpt.materialize(occRows(docs))
+    scoreLmOcc(docs, occ.df, trainLmOcc(occ.df), k)
+  }
 
   /** A trained bigram LM: the unigram+bigram count relation
     * (kind ∈ {u,b}, 62-bit id, count) and the vocabulary size. The counts
@@ -86,9 +91,11 @@ object Selection {
     * each occurrence row explodes to its (u, uid) row plus, when a bigram
     * starts here, its (b, bid) row. A unionByName of two occ selects would
     * scan (and window-sort) the corpus twice for the same aggregation. */
-  def trainLm(docs: DataFrame): LmModel = {
+  def trainLm(docs: DataFrame): LmModel = trainLmOcc(occRows(docs))
+
+  private def trainLmOcc(occ: DataFrame): LmModel = {
     val counts = Ckpt.materialize(
-      occRows(docs).select(col("doc_id"), explode(
+      occ.select(col("doc_id"), explode(
           when(col("bid").isNotNull,
             array(struct(lit("u").as("kind"), col("uid").as("id")),
               struct(lit("b").as("kind"), col("bid").as("id"))))
@@ -105,12 +112,16 @@ object Selection {
     * broadcast-safe). Out-of-vocabulary tokens/bigrams simply have no count
     * row; the inner join drops those bigrams from the average, matching the
     * in-corpus behavior where every occurring id has a row by construction. */
-  def scoreLm(docs: DataFrame, model: LmModel, k: Double = 0.5): DataFrame = {
+  def scoreLm(docs: DataFrame, model: LmModel, k: Double = 0.5): DataFrame =
+    scoreLmOcc(docs, occRows(docs), model, k)
+
+  private def scoreLmOcc(docs: DataFrame, occ: DataFrame, model: LmModel,
+                         k: Double): DataFrame = {
     val cu = model.counts.filter(col("kind") === "u")
       .select(col("id").as("uid"), col("count").as("cu"))
     val cb = model.counts.filter(col("kind") === "b")
       .select(col("id").as("bid"), col("count").as("cb"))
-    val bits = occRows(docs).filter(col("bid").isNotNull)
+    val bits = occ.filter(col("bid").isNotNull)
       .join(cu, "uid").join(cb, "bid")
       .select(col("doc_id"),
         ((log(col("cu") + k * model.vocab) - log(col("cb") + lit(k)))
@@ -158,8 +169,13 @@ object Selection {
     * into the weight join. Output (doc_id, n_feats, dsir_logw), one row per
     * raw-corpus document. */
   def dsirWeights(docs: DataFrame, target: DataFrame,
-                  buckets: Int = 4093, k: Double = 0.5): DataFrame =
-    scoreDsir(docs, trainDsir(docs, target, buckets, k))
+                  buckets: Int = 4093, k: Double = 0.5): DataFrame = {
+    // the raw-corpus feature stream feeds BOTH the bucket-count estimation
+    // and the weight pass — materialize it once instead of re-running the
+    // tokenize + window + explode chain per pass (guide §1.2)
+    val fr = Ckpt.materialize(feats(docs, buckets))
+    scoreDsirFeats(docs, fr.df, trainDsirFeats(fr.df, target, buckets, k))
+  }
 
   /** A trained DSIR model: the λ relation (bucket, lam) — exactly `buckets`
     * rows by construction (bounded by the PARAMETER, not the data), so it is
@@ -181,14 +197,18 @@ object Selection {
     * one target scan, each collapsing to ≤ `buckets` rows before the
     * bounded driver-side collect. */
   def trainDsir(docs: DataFrame, target: DataFrame,
-                buckets: Int = 4093, k: Double = 0.5): DsirModel = {
+                buckets: Int = 4093, k: Double = 0.5): DsirModel =
+    trainDsirFeats(feats(docs, buckets), target, buckets, k)
+
+  private def trainDsirFeats(rawFeats: DataFrame, target: DataFrame,
+                             buckets: Int, k: Double): DsirModel = {
     require(buckets >= 2, "trainDsir needs >= 2 buckets")
-    val spark = docs.sparkSession
-    def bucketCounts(d: DataFrame): Map[Long, Long] =
-      feats(d, buckets).groupBy("bucket").count()
+    val spark = rawFeats.sparkSession
+    def counts(f: DataFrame): Map[Long, Long] =
+      f.groupBy("bucket").count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cr = bucketCounts(docs)
-    val ct = bucketCounts(target)
+    val cr = counts(rawFeats)
+    val ct = counts(feats(target, buckets))
     val nr = cr.values.sum.toDouble
     val nt = ct.values.sum.toDouble
     val lam: Seq[(Long, Double)] = (0L until buckets.toLong).map { b =>
@@ -200,8 +220,12 @@ object Selection {
   }
 
   /** Weight pass: one corpus scan joined against the broadcast λ table. */
-  def scoreDsir(docs: DataFrame, model: DsirModel): DataFrame = {
-    val perDoc = feats(docs, model.buckets).join(broadcast(model.lambda), "bucket")
+  def scoreDsir(docs: DataFrame, model: DsirModel): DataFrame =
+    scoreDsirFeats(docs, feats(docs, model.buckets), model)
+
+  private def scoreDsirFeats(docs: DataFrame, docFeats: DataFrame,
+                             model: DsirModel): DataFrame = {
+    val perDoc = docFeats.join(broadcast(model.lambda), "bucket")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_feats"), round(sum(col("lam")), 6).as("dsir_logw"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
