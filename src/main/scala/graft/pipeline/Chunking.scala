@@ -78,7 +78,13 @@ object Chunking {
     */
   /** per-doc stream coordinates shared by [[packSequences]] and
     * [[packManifest]]: (doc_id, bin, n_tok, start_off, cum_end) with
-    * end-exclusive BIGINT offsets inside each bin's concat stream */
+    * end-exclusive BIGINT offsets inside each bin's concat stream.
+    *
+    * CONTRACT (ADVICE r5): `doc_id` must be NON-NEGATIVE. The bin here is
+    * `pmod(doc_id, nBins)` while the SQL oracle twins use truncated
+    * `doc_id % nBins` — identical on [0, ∞) but divergent for negative
+    * ids. Every corpus this engine synthesizes/ingests keys docs by
+    * non-negative ids; callers with signed ids must remap first. */
   private def streamOffsets(docs: DataFrame, nBins: Int): DataFrame = {
     val nt = size(TextOps.tokens(col("text"))).cast("long")
     val w = Window.partitionBy(col("bin")).orderBy(col("doc_id"))

@@ -146,6 +146,9 @@ private[graft] object Jpeg {
             while (p < p1) {
               val pq = (b(p) & 0xf0) >> 4; val tq = b(p) & 0x0f; p += 1
               if (tq > 3 || pq > 1) return None
+              // bound the table read against the DECLARED segment length
+              // (ADVICE r5: a short declared length walked past p1)
+              if (p + (if (pq == 0) 64 else 128) > p1) return None
               var i = 0
               while (i < 64) {
                 val q = if (pq == 0) { val v = b(p) & 0xff; p += 1; v }
@@ -172,9 +175,11 @@ private[graft] object Jpeg {
             }
           case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
             if (sofSeen) return None
+            if (p0 + 6 > p1) return None // header must fit the declared len
             val prec = b(p0) & 0xff
             h = u16(p0 + 1); w = u16(p0 + 3)
             val nc = b(p0 + 5) & 0xff
+            if (p0 + 6 + 3 * nc > p1) return None // component table too
             if (prec != 8 || w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
                 (nc != 1 && nc != 3)) return None
             comps = Array.tabulate(nc) { i =>
@@ -192,8 +197,10 @@ private[graft] object Jpeg {
             restartInterval = u16(p0)
           case 0xda => // SOS — entropy-coded scan follows
             if (!sofSeen) return None
+            if (p0 + 1 > p1) return None
             val ns = b(p0) & 0xff
             if (ns != comps.length) return None // non-interleaved: out of tier
+            if (p0 + 1 + 2 * ns > p1) return None // per-scan table must fit
             val scanDc = new Array[Huff](ns); val scanAc = new Array[Huff](ns)
             var p = p0 + 1
             var i = 0
@@ -240,7 +247,10 @@ private[graft] object Jpeg {
         // byte-align, expect RSTn, reset DC predictions
         rd.align()
         if (!rd.sawMarker) { // marker not yet consumed by the bit reader
-          if (rd.pos + 2 > b.length || (b(rd.pos) & 0xff) != 0xff) return None
+          // require an actual RSTn (0xD0-0xD7) — a DNL/EOI landing here is
+          // a corrupt stream and must DROP, not silently misdecode
+          if (rd.pos + 2 > b.length || (b(rd.pos) & 0xff) != 0xff ||
+              (b(rd.pos + 1) & 0xf8) != 0xd0) return None
           rd.pos += 2
         } else rd.sawMarker = false
         java.util.Arrays.fill(dcPred, 0)

@@ -974,7 +974,11 @@ object Media {
       .mapPartitions { it =>
         it.flatMap { r =>
           val key = r.getLong(0)
-          Jpeg.decode(r.getAs[Array[Byte]](1)).map {
+          // belt-and-braces for the DROP contract (ADVICE r5): any residual
+          // parser escape on adversarial bytes drops the ROW, never the job
+          val dec = try Jpeg.decode(r.getAs[Array[Byte]](1))
+            catch { case scala.util.control.NonFatal(_) => None }
+          dec.map {
             case (w, h, nc, mr, mg, mb) => Row(key, w, h, nc, mr, mg, mb)
           }
         }
