@@ -68,14 +68,20 @@ object Boruvka {
     * one row per direction with equal w. */
   def run(spark: SparkSession, wEdgesSym: DataFrame, numPartitions: Int,
           maxRounds: Int = 4): BoruvkaResult = {
-    var e = Ckpt.materialize(wEdgesSym
+    // fused initial count (was a separate limit(1).count() probe job)
+    val (e0, nE0) = Ckpt.materializeWithCount(wEdgesSym
       .select(col("src").as("ca"), col("dst").as("cb"),
         least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"), col("w"))
       .repartition(numPartitions, col("ca")))
-    val chosen = List.newBuilder[CkptState]
+    var e = e0
+    // per-round chosen edges stay DERIVED plans over the (kept) sel states
+    // — the former per-round distinct materialization job is gone; the
+    // final union.distinct() already dedups for output
+    val chosen = List.newBuilder[DataFrame]
+    val selStates = List.newBuilder[CkptState]
     var rounds = 0
-    var live = e.df.limit(1).count() > 0
+    var live = nE0 > 0
     while (live && rounds < maxRounds) {
       rounds += 1
       // min outgoing edge per component as ONE hash aggregation (partial +
@@ -88,9 +94,10 @@ object Boruvka {
           .agg(min(struct(col("w"), col("lo"), col("hi"), col("cb"))).as("_m"))
           .select(col("ca"), col("_m.cb").as("cb"), col("_m.lo").as("lo"),
             col("_m.hi").as("hi"), col("_m.w").as("w")))
-      // both endpoints of a merge edge may each select it — dedup for output
-      chosen += Ckpt.materialize(
-        sel.df.select(col("lo"), col("hi"), col("w")).distinct())
+      // both endpoints of a merge edge may each select it — the final
+      // union's distinct dedups for output
+      chosen += sel.df.select(col("lo"), col("hi"), col("w"))
+      selStates += sel
       // canonical label per merged tree = min component id reachable over
       // the undirected merge graph; comps absent from the map keep their id
       // (left join + coalesce below)
@@ -129,13 +136,13 @@ object Boruvka {
           .select(col("_na").as("ca"), col("_nb").as("cb"),
             col("lo"), col("hi"), col("w"))
           .repartition(numPartitions, col("ca")))
-      sel.release(); e.release()
+      e.release() // sel states stay: they back the returned forest
       if (lblState != null) lblState.release()
       e = newE
       live = nLive > 0
     }
     e.release()
-    val forest = chosen.result().map(_.df)
+    val forest = chosen.result()
       .reduceOption(_.unionByName(_)).getOrElse(
         { import spark.implicits._
           Seq.empty[(Long, Long, Long)].toDF("lo", "hi", "w") })

@@ -2,7 +2,7 @@ package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Ckpt, Kernels, Ops}
+import graft.core.Ckpt
 
 final case class CCResult(components: DataFrame, iterations: Int)
 
@@ -42,9 +42,6 @@ object ConnectedComponents {
     var iter = 0
     var changed = true
 
-    def minMerge(a: DataFrame, b: DataFrame): DataFrame =
-      Kernels.ewiseAddDF(a, b, Seq("id"), Ops.minBin)
-
     while (changed && iter < maxIter) {
       val f = fState.df
       val gp = gpState.df
@@ -58,9 +55,16 @@ object ConnectedComponents {
         .join(mngp, "id")
         .groupBy(col("_t").as("id")).agg(min(col("v")).as("v"))
 
-      var f1 = minMerge(f, scattered)
-      f1 = minMerge(f1, mngp)     // f = min(f, mngp)
-      f1 = minMerge(f1, gp)       // shortcut: f = min(f, gp)
+      // f = min(f, scattered, mngp, gp) — formerly a CHAIN of three
+      // full-outer min-merge joins; min is associative/commutative and the
+      // merged id set is the union of the operands', so ONE union + hash
+      // min-aggregation produces the identical relation with a single
+      // exchange and one aggregation stage instead of three join stages
+      // (exact: component labels are int64)
+      val f1 = f.select(col("id"), col("v"))
+        .unionByName(scattered).unionByName(mngp)
+        .unionByName(gp.select(col("id"), col("v")))
+        .groupBy("id").agg(min(col("v")).as("v"))
       val newFState = Ckpt.materialize(f1)
 
       // gp = f[f], with the change flag (gp_new != gp) fused into the same

@@ -2,6 +2,7 @@ package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Ckpt
 
 final case class KCoreResult(core: DataFrame, rounds: Int)
 
@@ -31,9 +32,14 @@ object KCore {
 
   def run(spark: SparkSession, edgesSym: DataFrame, k: Int,
           numPartitions: Int, maxRounds: Int = 32): KCoreResult = {
-    var e = edgesSym.repartition(numPartitions, col("src"))
-      .persist()
-    var nEdges = e.count()
+    // FLAT Ckpt state per round, not persist(): a persisted DataFrame keeps
+    // its full lineage, so round r's plan nests all r-1 predecessors —
+    // measured a ~4 MB final plan after 8 rounds at sf0.1, with per-round
+    // analysis/planning cost growing linearly. The rewrap is O(1) planning
+    // per round and declares the hash(src) layout so the degree aggregation
+    // stays exchange-free.
+    var (e, nEdges) = Ckpt.materializeWithCount(
+      edgesSym.repartition(numPartitions, col("src")))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -43,22 +49,22 @@ object KCore {
       // the (big, shrinking) edge state is never re-shuffled; under an
       // aggressive k whose first round drops half the graph, AQE falls back
       // to shuffle joins on its size estimate. (The semi-join-on-survivors
-      // form forces two edge-scale shuffles EVERY round.)
-      val dropped = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      // form forces two edge-scale shuffles EVERY round.) dst anti first,
+      // src anti last: the materialized state then re-declares hash(src).
+      val dropped = e.df.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select(col("src").as("id"))
-      val e2 = e
-        .join(dropped.select(col("id").as("src")), Seq("src"), "left_anti")
+      val (e2, n2) = Ckpt.materializeWithCount(e.df
         .join(dropped.select(col("id").as("dst")), Seq("dst"), "left_anti")
-        .select(col("src"), col("dst"))
-        .persist()
-      val n2 = e2.count()
-      e.unpersist(blocking = false)
+        .join(dropped.select(col("id").as("src")), Seq("src"), "left_anti")
+        .select(col("src"), col("dst")))
+      e.release()
       converged = n2 == nEdges // edge set shrinks monotonically
       nEdges = n2
       e = e2
       rounds += 1
     }
-    val core = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // the final round's blocks back the returned aggregation (session-scoped)
+    val core = e.df.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     KCoreResult(core, rounds)
   }
 }
