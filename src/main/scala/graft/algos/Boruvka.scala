@@ -44,7 +44,7 @@ object Boruvka {
     * union-by-min (the smaller root adopts the larger) makes every final
     * root the MINIMUM member of its component — the same canonical label
     * MinReach converges to — independent of union order. */
-  private def unionFindMinLabels(
+  private[graft] def unionFindMinLabels(
       pairs: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {

@@ -127,17 +127,38 @@ object Dedup {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pairs = ngramJaccardPairs(docs, threshold, w, maxDf)
       .select(col("doc_a"), col("doc_b"))
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    ConnectedComponents.run(spark, sym, nDocs, parts).components
-      // CC seeds the dense range 0..max(doc_id): under a SPARSE id space
-      // (a filtered corpus) the range rows with no matching document must
-      // not surface as phantom singleton clusters — keep only real ids.
-      // A cluster's min-id representative is always a real doc (edges only
-      // connect real ids), so canonical flags are unaffected.
-      .join(docs.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-        (col("id") === col("component")).cast("long").as("is_canonical"))
+    // the verified near-dup pair graph is orders of magnitude smaller than
+    // the corpus; when it fits the driver comfortably, resolve clusters
+    // with an exact min-member union-find and broadcast the label map back
+    // (the Boruvka driverRelabelMax discipline — IDENTICAL labels to the
+    // FastSV fixpoint, minus ~7 fixed-cost distributed iterations). Above
+    // the gate (early-web-crawl duplication rates at 100 TB) the
+    // distributed CC path runs unchanged.
+    val nPairs = pairs.count() // pairs is a materialized flat relation
+    val labels: DataFrame =
+      if (nPairs <= 1000000L) {
+        val arr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val m = graft.algos.Boruvka.unionFindMinLabels(arr)
+        broadcast(spark.createDataFrame(m.toSeq.sortBy(_._1))
+          .toDF("id", "component"))
+      } else {
+        val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        // CC seeds the dense range 0..max(doc_id): under a SPARSE id space
+        // (a filtered corpus) the range rows with no matching document must
+        // not surface as phantom singleton clusters — the left join below
+        // keeps only real ids. A cluster's min-id representative is always
+        // a real doc (edges only connect real ids), so canonical flags are
+        // unaffected.
+        ConnectedComponents.run(spark, sym, nDocs, parts).components
+          .select(col("id"), col("component"))
+      }
+    docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        (col("doc_id") === coalesce(col("component"), col("doc_id")))
+          .cast("long").as("is_canonical"))
   }
 
   /** Benchmark decontamination — flag every training document sharing at
