@@ -44,6 +44,17 @@ object MIS {
     var (rem, nRem) = Ckpt.materializeWithCount(
       edgesSym.select(col("src").as("id"))
         .distinct().repartition(numPartitions, col("id")))
+    // PACKED priority key when every vertex id fits 32 bits: the
+    // (priority, id) pair folds into ONE long `p·2³² + id` whose ordering
+    // is exactly the lexicographic tuple order (p < M = 2³¹−1, so the pack
+    // tops out at 2⁶³−1 — no overflow). A long min runs in the codegen
+    // HashAggregate; the struct form falls back to ObjectHashAggregate
+    // (no whole-stage codegen) and stays as the >32-bit-id path. Same
+    // winners either way — the one-off max probe rides the flat rem scan.
+    val packedIds = nRem > 0 && {
+      val r = rem.df.agg(min(col("id")), max(col("id"))).collect()(0)
+      !r.isNullAt(0) && r.getLong(0) >= 0 && r.getLong(1) < (1L << 32)
+    }
     var e = Ckpt.materialize(edgesSym.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src")))
     // per-round winner states accumulate (their blocks back the returned
@@ -56,8 +67,10 @@ object MIS {
     var rounds = 0
     while (nRem > 0 && rounds < maxRounds) {
       rounds += 1
-      def pk(c: Column) = struct((c % M * Sampling.saltedMultiplier(rounds) % M)
-        .as("p"), c.as("t"))
+      val mult = Sampling.saltedMultiplier(rounds)
+      def pk(c: Column): Column =
+        if (packedIds) (c % M * mult % M) * (1L << 32) + c
+        else struct((c % M * mult % M).as("p"), c.as("t"))
       // min neighbor (priority, id) per live vertex; vertices with no live
       // neighbors have no row -> isNull -> they win unconditionally
       val nbrMin = e.df.select(col("src").as("id"), pk(col("dst")).as("k"))
