@@ -29,6 +29,37 @@ object SparkEntry {
   private def parts(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Scale-ADAPTIVE partition count for the lineitem-derived graph fixtures
+    * (guide §2.2 "fewer, larger partitions"): the iterative algos' vertex and
+    * edge state at these SFs is single-digit MB, and a JobProbe sweep showed
+    * ~70-85% of their summed task time is fixed per-task overhead when that
+    * state is spread over `spark.sql.shuffle.partitions` tasks (sf0.1 scc:
+    * 1905 tasks / 99.7 s task-time at 32 partitions vs 561 / 16.1 s at 8,
+    * same results). So derive the count from the INPUT SIZE — the same
+    * policy AQE's partition coalescing applies to non-pinned shuffles (the
+    * explicit repartitions that declare the loop state's co-partitioning
+    * opt out of AQE, so the derivation happens here): ~1 MB of edge bytes
+    * per partition, floored at 4 so multi-core execution is preserved, and
+    * capped at 4× the session's shuffle parallelism so a real cluster's
+    * `spark.sql.shuffle.partitions` (thousands) keeps scaling the count UP
+    * with the data rather than pinning it to a local constant. Edge bytes
+    * are estimated from the PARSED scale factor (lineitem ≈ 6M rows/sf of
+    * 16-byte src/dst pairs) — no extra job, deterministic per dir.
+    *
+    * The WEDGE-heavy triangle family (triangle_centrality, clustering_coeff,
+    * transitivity, square_clustering, generalized_degree, ktruss) keeps
+    * `parts(s)`: their dominant intermediate is the Σdeg² wedge expansion
+    * (~60× the edge input on this fixture), so partitioning must follow the
+    * expansion, not the input — an input-derived count starves the wedge
+    * join of parallelism (measured: triangle_centrality 4.30 s → 5.51 s
+    * min-of-3 when moved to the input-derived count). */
+  private def gparts(s: SparkSession, dir: String): Int = {
+    val conf = parts(s)
+    val edgeBytes = sfOf(dir) * 6.0e6 * 16.0
+    val bySize = math.ceil(edgeBytes / (1 << 20)).toInt
+    math.max(4, math.min(bySize, conf * 4))
+  }
+
   /** Deterministic per-(sfDir, tag) fixture dir for the IcebergLite queries,
     * WIPED and rebuilt each call — createTempDirectory would leak a full
     * table copy per bench/verify invocation (ADVICE-class temp-dir leak). */
@@ -208,7 +239,7 @@ object SparkEntry {
     }),
 
     "pagerank_iter1" -> ((s, d) => {
-      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), gparts(s, d))
       val r = PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 1)
       r.scores.select(col("id"), round(col("v"), 9).as("v"))
     }),
@@ -220,20 +251,20 @@ object SparkEntry {
       // (VERDICT r3 item 2). Convergence-driven operation is pinned by the
       // sbt suite (AlgoSpec: recurrence to 1e-6 incl. sinks/hubs) and
       // exercised by `entry`/Bench's webgraph run (tol=1e-6).
-      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), gparts(s, d))
       PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 15)
         .scores.select(col("id"), round(col("v"), 6).as("v"))
     }),
 
     "connected_components" -> ((s, d) =>
-      ConnectedComponents.run(s, edgesGSym(s, d), gmod(d), parts(s)).components),
+      ConnectedComponents.run(s, edgesGSym(s, d), gmod(d), gparts(s, d)).components),
 
     "kcore" -> ((s, d) =>
       // k=95 peels a 12-vertex fringe off the ~117-avg-degree fixture in 3
       // cascading rounds; maxRounds matches the oracle's unroll and early
       // stop at the fixpoint is bit-identical to running all 8 (the
       // survivor set shrinks monotonically)
-      KCore.run(s, edgesGSym(s, d), k = 95, parts(s), maxRounds = 8).core),
+      KCore.run(s, edgesGSym(s, d), k = 95, gparts(s, d), maxRounds = 8).core),
 
     "ktruss" -> ((s, d) =>
       // 3-round 16-truss peel (maxRounds matches the oracle's unroll; the
@@ -247,11 +278,11 @@ object SparkEntry {
       // Luby rounds; ANY oracle unroll R ≥ the executed rounds matches (the
       // output is the union of per-round winners and exhausted rounds admit
       // nobody), so maxRounds here == misSql's unroll
-      MIS.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).mis),
+      MIS.run(s, edgesGSym(s, d), gparts(s, d), maxRounds = 8).mis),
 
     "coloring" -> ((s, d) =>
       // Jones-Plassmann rounds; same bounded-round contract as mis
-      Coloring.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).colors),
+      Coloring.run(s, edgesGSym(s, d), gparts(s, d), maxRounds = 8).colors),
 
     "boruvka_mst" -> ((s, d) => {
       // weighted graph: canonical undirected lineitem edges, integer-cent
@@ -268,7 +299,7 @@ object SparkEntry {
       val sym = canon.select(col("lo").as("src"), col("hi").as("dst"), col("w"))
         .unionByName(
           canon.select(col("hi").as("src"), col("lo").as("dst"), col("w")))
-      Boruvka.run(s, sym, parts(s), maxRounds = 4).forest
+      Boruvka.run(s, sym, gparts(s, d), maxRounds = 4).forest
     }),
 
     "clustering_coeff" -> ((s, d) =>
@@ -306,13 +337,13 @@ object SparkEntry {
     "maximal_matching" -> ((s, d) =>
       // bounded-round deterministic operator (the MIS convention: maxRounds
       // here == matchingSql's unroll; the dense expander drains in ~5)
-      Matching.run(s, edgesGSym(s, d), parts(s), maxRounds = 8).matching),
+      Matching.run(s, edgesGSym(s, d), gparts(s, d), maxRounds = 8).matching),
 
     "eigenvector_centrality" -> ((s, d) => {
       // 5 power-iteration rounds of x ← (I+Aᵀ)x, L2-normalized once at the
       // end (linearity — see Eigenvector Scaladoc); fixed rounds so the
       // DuckDB oracle unrolls the exact recurrence like katz_centrality
-      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), gparts(s, d))
       Eigenvector.run(s, adj, maxIter = 5)
         .scores.select(col("id"), round(col("v"), 6).as("v"))
     }),
@@ -360,7 +391,7 @@ object SparkEntry {
 
     "label_propagation" -> ((s, d) =>
       // 4 synchronous mode-LPA rounds (maxIter matches lpIterSql's unroll)
-      LabelPropagation.run(s, edgesGSym(s, d), gmod(d), parts(s), maxIter = 4)
+      LabelPropagation.run(s, edgesGSym(s, d), gmod(d), gparts(s, d), maxIter = 4)
         .labels.select(col("id"), col("label"))),
 
     "bfs_levels" -> ((s, d) =>
@@ -384,7 +415,7 @@ object SparkEntry {
     "random_walks" -> ((s, d) =>
       // 8-step deterministic walk corpus, one walk per vertex; the oracle
       // replays the exact next-hop arithmetic (see RandomWalk Scaladoc)
-      RandomWalk.corpus(s, edgesG(s, d), walkLength = 8, parts(s))),
+      RandomWalk.corpus(s, edgesG(s, d), walkLength = 8, gparts(s, d))),
 
     "betweenness" -> ((s, d) =>
       // 4-seed Brandes sample, radius-6 (≥ the fixture's eccentricity, so
@@ -393,7 +424,7 @@ object SparkEntry {
         .select(col("id"), round(col("bc"), 6).as("bc"))),
 
     "pagerank_iter5" -> ((s, d) => {
-      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), gparts(s, d))
       PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 5)
         .scores.select(col("id"), round(col("v"), 9).as("v"))
     }),
@@ -406,7 +437,7 @@ object SparkEntry {
       // the parquet+manifest snapshot loses nothing (state round-trips FP64
       // bit-exact) and the resumed loop is the same recurrence.
       val ck = java.nio.file.Files.createTempDirectory("graft-resume").toString
-      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), gparts(s, d))
       val c = new IterationCheckpointer(ck)
       PageRank.run(s, adj, damping = 0.85, tol = 0.0, maxIter = 3,
         checkpointer = Some(c))
@@ -419,7 +450,7 @@ object SparkEntry {
       // teleport restricted to seed vertices 0..9; fixed 5 iterations so the
       // DuckDB oracle unrolls the exact recurrence (same discipline as
       // pagerank_iter5)
-      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), gparts(s, d))
       PersonalizedPageRank.run(s, adj, s.range(10).toDF("id"),
           damping = 0.85, tol = 0.0, maxIter = 5)
         .scores.select(col("id"), round(col("v"), 9).as("v"))
@@ -428,7 +459,7 @@ object SparkEntry {
     "katz_centrality" -> ((s, d) => {
       // x ← β + α·Aᵀx, fixed 5 rounds (tol=0) so the DuckDB oracle unrolls
       // the exact recurrence — same discipline as pagerank_iter5
-      val adj = Adjacency.build(edgesG(s, d), gmod(d), parts(s))
+      val adj = Adjacency.build(edgesG(s, d), gmod(d), gparts(s, d))
       // round(6): Katz values are O(1) (β floor = 1), so 6 digits is the
       // same RELATIVE tolerance pagerank_iter5's round(9) gives its O(1e-3)
       // values; 9 digits here tripped round-to-even boundary flips between
@@ -441,9 +472,9 @@ object SparkEntry {
       // 5 L2-normalized hub/authority rounds; the reversed-edge adjacency is
       // built once so both gathers run the zero-exchange plan
       val e = edgesG(s, d)
-      val adjOut = Adjacency.build(e, gmod(d), parts(s))
+      val adjOut = Adjacency.build(e, gmod(d), gparts(s, d))
       val adjIn = Adjacency.build(
-        e.select(col("dst").as("src"), col("src").as("dst")), gmod(d), parts(s))
+        e.select(col("dst").as("src"), col("src").as("dst")), gmod(d), gparts(s, d))
       HITS.run(s, adjOut, adjIn, maxIter = 5).scores
         .select(col("id"),
           coalesce(round(col("hub"), 6), lit(0.0)).as("hub"),
@@ -455,7 +486,7 @@ object SparkEntry {
 
     "sssp" -> ((s, d) =>
       SSSP.run(s, matM(s, d).df.select(col("src"), col("dst"), col("v").as("w")),
-        0, parts(s))),
+        0, gparts(s, d))),
 
     // ===== element-wise / mask / assign kernels =====
     "ewise_mult_plus" -> ((s, d) =>
@@ -1080,14 +1111,14 @@ object SparkEntry {
       // shallow: giant core + short tendrils). /11 gives 6 SCCs at depth 2
       // — giant-core structure AND a 2-round peel, like the real workload.
       val g = edgesG(s, d).filter((col("src") * 31 + col("dst")) % 11 === 0)
-      SCC.run(s, g, parts(s)).components
+      SCC.run(s, g, gparts(s, d)).components
     }),
     "bowtie" -> ((s, d) => {
       // same 1/11 sparsification as `scc` (see note there); every class is
       // populated (847 core / 2 in / 2 out / 86 other at sf0.01) though the
       // in/out fringes are thin — the AlgoSpec bow tie pins the class logic
       val g = edgesG(s, d).filter((col("src") * 31 + col("dst")) % 11 === 0)
-      BowTie.run(s, g, parts(s)).classes
+      BowTie.run(s, g, gparts(s, d)).classes
     }),
     "link_predict_jaccard" -> ((s, d) => {
       // same sparsified regime as link_predict_aa (see note there)

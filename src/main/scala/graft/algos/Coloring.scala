@@ -42,6 +42,16 @@ object Coloring {
     val (rem0, nRem0) = Ckpt.materializeWithCount(
       e0.df.select(col("src").as("id"))
         .distinct().repartition(numPartitions, col("id")))
+    // PACKED priority key when every vertex id fits 32 bits (the MIS
+    // discipline, same probe): (priority, id) folds into ONE long
+    // `p·2³² + id` whose ordering is exactly the lexicographic tuple order
+    // (p < M = 2³¹−1 ⇒ no overflow). The neighbor-min aggregation then runs
+    // as a codegen HashAggregate over 8-byte keys instead of an
+    // ObjectHashAggregate over structs; the struct path stays for wider ids.
+    val packedIds = nRem0 > 0 && {
+      val r = rem0.df.agg(min(col("id")), max(col("id"))).collect()(0)
+      !r.isNullAt(0) && r.getLong(0) >= 0 && r.getLong(1) < (1L << 32)
+    }
     // `rem` lives as a DERIVED plan — rem0 minus the union of per-round
     // pick states (all flat scans) — instead of a re-materialized state:
     // saves one materialization + count job per round. The loop exit rides
@@ -58,8 +68,10 @@ object Coloring {
       val rem = coloredSoFar.map(_.select(col("id")))
         .reduceOption(_.unionByName(_))
         .fold(rem0.df)(c => rem0.df.join(c, Seq("id"), "left_anti"))
-      def pk(c: Column) = struct((c % M * Sampling.saltedMultiplier(rounds) % M)
-        .as("p"), c.as("t"))
+      val mult = Sampling.saltedMultiplier(rounds)
+      def pk(c: Column): Column =
+        if (packedIds) (c % M * mult % M) * (1L << 32) + c
+        else struct((c % M * mult % M).as("p"), c.as("t"))
       val nbrMin = e.df.select(col("src").as("id"), pk(col("dst")).as("k"))
         .groupBy("id").agg(min(col("k")).as("mk"))
       val cand = Ckpt.materialize(rem.join(nbrMin, Seq("id"), "left")
