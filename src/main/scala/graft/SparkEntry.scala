@@ -395,22 +395,25 @@ object SparkEntry {
         .labels.select(col("id"), col("label"))),
 
     "bfs_levels" -> ((s, d) =>
-      BFS.levels(s, edgesG(s, d), 0, maxDepth = 15)),
+      BFS.levels(s, edgesG(s, d), 0, maxDepth = 15, numPartitions = gparts(s, d))),
 
     "msbfs_levels" -> ((s, d) =>
       // 4 sources ride ONE packed 64-bit frontier: one gather join per level
       // regardless of source count (the point of batched BFS at web scale)
-      MSBFS.levels(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15)),
+      MSBFS.levels(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15,
+        numPartitions = gparts(s, d))),
 
     "harmonic_centrality" -> ((s, d) =>
       // seed-sampled harmonic centrality from the same packed wave; ≤64
       // 1/level terms per vertex so 1e-9 rounding is deterministic
-      MSBFS.harmonic(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15)
+      MSBFS.harmonic(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15,
+          numPartitions = gparts(s, d))
         .select(col("id"), round(col("harmonic"), 9).as("harmonic"))),
 
     "eccentricity" -> ((s, d) =>
       // pseudo-diameter sampling: per-seed max BFS level off the packed wave
-      MSBFS.eccentricity(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15)),
+      MSBFS.eccentricity(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 15,
+        numPartitions = gparts(s, d))),
 
     "random_walks" -> ((s, d) =>
       // 8-step deterministic walk corpus, one walk per vertex; the oracle
@@ -420,7 +423,8 @@ object SparkEntry {
     "betweenness" -> ((s, d) =>
       // 4-seed Brandes sample, radius-6 (≥ the fixture's eccentricity, so
       // exact for these seeds); σ is exact BIGINT, δ rounded at 1e-6
-      Betweenness.run(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 6)
+      Betweenness.run(s, edgesG(s, d), Seq(0L, 1L, 2L, 3L), maxDepth = 6,
+          numPartitions = gparts(s, d))
         .select(col("id"), round(col("bc"), 6).as("bc"))),
 
     "pagerank_iter5" -> ((s, d) => {
@@ -482,7 +486,7 @@ object SparkEntry {
     }),
 
     "bfs_parents" -> ((s, d) =>
-      BFS.parents(s, edgesG(s, d), 0, maxDepth = 15)),
+      BFS.parents(s, edgesG(s, d), 0, maxDepth = 15, numPartitions = gparts(s, d))),
 
     "sssp" -> ((s, d) =>
       SSSP.run(s, matM(s, d).df.select(col("src"), col("dst"), col("v").as("w")),

@@ -11,11 +11,21 @@ object BFS {
 
   def levels(spark: SparkSession, edges: DataFrame, source: Long,
              maxDepth: Int = 64,
-             checkpointer: Option[graft.runtime.IterationCheckpointer] = None): DataFrame = {
+             checkpointer: Option[graft.runtime.IterationCheckpointer] = None,
+             numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
     import graft.core.Ckpt
-    // frontier expansion joins on src every round — persist pre-partitioned
-    val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
+    // frontier expansion joins on src every round — persist pre-partitioned.
+    // numPartitions > 0 sizes the cached edge relation from the INPUT (the
+    // SparkEntry.gparts discipline: the gather's map side then runs that
+    // many tasks per level instead of the session parallelism); 0 keeps the
+    // session default. The per-level aggregation exchanges stay at the
+    // session parallelism on purpose — pre-repartitioning them would
+    // satisfy the distribution requirement and silently drop the partial
+    // (map-side) aggregation.
+    val e = (if (numPartitions > 0) edges.repartition(numPartitions, col("src"))
+             else edges.repartition(col("src")))
+      .sortWithinPartitions("src").persist()
     e.count()
     // ONE job per level (guide §1.2/§2.4 — remove jobs, not tune them): the
     // frontier size comes fused from the materialization (was a second job)
@@ -58,10 +68,13 @@ object BFS {
     * SURVEY.md §7.4), with the complement mask pushed below the min-
     * aggregation (Core.vxm mask). parent(source) = source. */
   def parents(spark: SparkSession, edges: DataFrame, source: Long,
-              maxDepth: Int = 64): DataFrame = {
+              maxDepth: Int = 64, numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
     import graft.core._
-    val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
+    // same input-sized edge cache as `levels`
+    val e = (if (numPartitions > 0) edges.repartition(numPartitions, col("src"))
+             else edges.repartition(col("src")))
+      .sortWithinPartitions("src").persist()
     e.count()
     // shape is declarative only (ids are externally assigned); the kernels
     // never materialize the universe

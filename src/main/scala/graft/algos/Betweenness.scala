@@ -30,10 +30,15 @@ import graft.core.{Ckpt, CkptState}
 object Betweenness {
 
   def run(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
-          maxDepth: Int = 32): DataFrame = {
+          maxDepth: Int = 32, numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
     require(sources.nonEmpty && sources.distinct.size == sources.size)
-    val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
+    // input-sized edge cache when numPartitions > 0 (the SparkEntry.gparts
+    // discipline — see BFS.levels); the per-level aggregation exchanges keep
+    // the session parallelism so partial aggregation survives
+    val e = (if (numPartitions > 0) edges.repartition(numPartitions, col("src"))
+             else edges.repartition(col("src")))
+      .sortWithinPartitions("src").persist()
     e.count()
 
     // ---- forward: per-level frontiers with exact shortest-path counts σ.

@@ -28,12 +28,17 @@ import graft.core.{Ckpt, CkptState}
 object MSBFS {
 
   def levels(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
-             maxDepth: Int = 64): DataFrame = {
+             maxDepth: Int = 64, numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
     require(sources.nonEmpty && sources.size <= 64,
       s"1..64 sources per packed wave, got ${sources.size}")
     require(sources.distinct.size == sources.size, "sources must be distinct")
-    val e = edges.repartition(col("src")).sortWithinPartitions("src").persist()
+    // input-sized edge cache when numPartitions > 0 (the SparkEntry.gparts
+    // discipline — see BFS.levels); aggregation exchanges keep the session
+    // parallelism so partial aggregation survives
+    val e = (if (numPartitions > 0) edges.repartition(numPartitions, col("src"))
+             else edges.repartition(col("src")))
+      .sortWithinPartitions("src").persist()
     e.count()
     // bit index -> source vertex (tiny, broadcast into every decode join)
     val srcMap = broadcast(
@@ -94,8 +99,8 @@ object MSBFS {
     * closeness, is the web-graph centrality of choice: it handles
     * disconnectedness without an ∞). */
   def harmonic(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
-               maxDepth: Int = 64): DataFrame =
-    levels(spark, edges, sources, maxDepth)
+               maxDepth: Int = 64, numPartitions: Int = 0): DataFrame =
+    levels(spark, edges, sources, maxDepth, numPartitions)
       .filter(col("level") > 0)
       .groupBy("id")
       .agg(sum(lit(1.0) / col("level")).as("harmonic"))
@@ -105,7 +110,7 @@ object MSBFS {
     * primitive (max over sampled sources lower-bounds the graph diameter).
     * Pure integer max over the shared packed wave; no float aggregation. */
   def eccentricity(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
-                   maxDepth: Int = 64): DataFrame =
-    levels(spark, edges, sources, maxDepth)
+                   maxDepth: Int = 64, numPartitions: Int = 0): DataFrame =
+    levels(spark, edges, sources, maxDepth, numPartitions)
       .groupBy("source").agg(max(col("level")).as("eccentricity"))
 }
