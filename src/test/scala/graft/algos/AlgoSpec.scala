@@ -561,6 +561,37 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     assert(again == colors)
   }
 
+  test("MIS & Coloring: >32-bit ids take the struct-key path and stay " +
+    "valid and layout-independent") {
+    // every id >= 2^33 ⇒ the packed-long (priority, id) fast path is
+    // ineligible and both algos must fall back to the struct comparator;
+    // the guarantees (independence/maximality, proper coloring, partition
+    // determinism) must hold there exactly as on the packed path
+    val base = 1L << 33
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L), (5L, 6L), (6L, 7L))
+      .map { case (a, b) => (base + a, base + b) }
+    val es = sym(und)
+    val eSet = (und ++ und.map(_.swap)).toSet
+    val adj = eSet.groupBy(_._1).map { case (u, e) => u -> e.map(_._2) }
+
+    val m = MIS.run(spark, es, numPartitions = 4)
+      .mis.collect().map(_.getLong(0)).toSet
+    assert(!eSet.exists { case (u, v) => m(u) && m(v) }, "independence")
+    adj.keys.filterNot(m).foreach(v => assert(adj(v).exists(m), s"maximal $v"))
+    val m2 = MIS.run(spark, es.repartition(7), numPartitions = 2)
+      .mis.collect().map(_.getLong(0)).toSet
+    assert(m2 == m, "MIS partition determinism on the struct path")
+
+    val colors = Coloring.run(spark, es, 4, maxRounds = 16)
+      .colors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(colors.keySet == adj.keySet, "every vertex colored")
+    und.foreach { case (u, v) => assert(colors(u) != colors(v), s"($u,$v)") }
+    val colors2 = Coloring.run(spark, es.repartition(7), 2, maxRounds = 16)
+      .colors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(colors2 == colors, "Coloring partition determinism on the struct path")
+  }
+
   test("Boruvka: full forest equals the driver Kruskal MST under the same " +
     "tie-break order; layout-independent") {
     // weighted graph with REPEATED weights to exercise the (w, lo, hi)
