@@ -1002,12 +1002,26 @@ object Media {
     * compressed with codec (key mod 4) ∈ plain/gzip/zstd/bzip2 — so the
     * oracle recomputes BOTH the sniffed codec name and the decompressed
     * features from the plain text column and the row key. */
+  /** CPU-bound byte codecs must not be gated by the input's SPLIT count: a
+    * few-MB parquet read plans 1-2 scan partitions, and the per-row
+    * compress/decompress then runs on 1-2 cores while the rest idle
+    * (measured: decompress_auto at sf0.1 ran its whole bzip2/zstd/gzip mix
+    * on 3 tasks). Spread rows to the session parallelism when — and only
+    * when — the input has fewer partitions: the repartition is UP-only and
+    * hash-keyed (deterministic under retries, guide §2.5), and a real
+    * corpus with ample splits skips the shuffle entirely (never move heavy
+    * payloads without need — guide §8). */
+  private def spread(df: DataFrame, keyCol: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(keyCol)) else df
+  }
+
   def synthesizeCompressed(df: DataFrame, textCol: String,
                            keyCol: String): DataFrame = {
     val spark = df.sparkSession
     val schema = new StructType()
       .add("key", LongType, false).add("payload", BinaryType, false)
-    val rdd = df.select(col(keyCol).cast("long"), col(textCol)).rdd
+    val rdd = spread(df, keyCol).select(col(keyCol).cast("long"), col(textCol)).rdd
       .mapPartitions { it =>
         it.map { r =>
           val key = r.getLong(0)
@@ -1050,7 +1064,9 @@ object Media {
   def decompressAuto(df: DataFrame, binCol: String, keyCol: String,
                      maxBytes: Long = 1L << 26): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(keyCol).cast("long"), col(binCol)).rdd
+    // spread() is a no-op when the payload relation already carries ≥
+    // session-parallelism partitions (e.g. straight from synthesizeCompressed)
+    val rdd = spread(df, keyCol).select(col(keyCol).cast("long"), col(binCol)).rdd
       .mapPartitions { it =>
         it.flatMap { r =>
           val key = r.getLong(0)
