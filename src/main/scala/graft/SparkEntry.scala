@@ -53,7 +53,7 @@ object SparkEntry {
     * expansion, not the input — an input-derived count starves the wedge
     * join of parallelism (measured: triangle_centrality 4.30 s → 5.51 s
     * min-of-3 when moved to the input-derived count). */
-  private def gparts(s: SparkSession, dir: String): Int = {
+  private[graft] def gparts(s: SparkSession, dir: String): Int = {
     val conf = parts(s)
     val edgeBytes = sfOf(dir) * 6.0e6 * 16.0
     val bySize = math.ceil(edgeBytes / (1 << 20)).toInt
@@ -91,7 +91,7 @@ object SparkEntry {
     // in sf and edge count ~follows, so modulus ∝ √sf keeps density flat
     math.max(937L, math.round(9973.0 * math.sqrt(sf / 0.1)))
   }
-  private def gmod(dir: String): Long =
+  private[graft] def gmod(dir: String): Long =
     if (sfOf(dir) <= 0.0101) 937L else scaledMod(dir)
   // M must scale with the data too: 997 at sf0.1 gave a 45%-dense matrix and
   // a 200M-row mxm intermediate (22.9s) — a density artifact, not a plan cost
@@ -99,7 +99,7 @@ object SparkEntry {
     if (sfOf(dir) <= 0.0101) 97L else scaledMod(dir)
 
   /** directed graph G over gmod vertices from lineitem (no self-loops) */
-  private def edgesG(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def edgesG(s: SparkSession, dir: String): DataFrame = {
     val n = gmod(dir)
     t(s, dir, "lineitem")
       .select((col("l_orderkey") % n).as("src"), (col("l_partkey") % n).as("dst"))

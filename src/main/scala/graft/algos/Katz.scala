@@ -43,6 +43,35 @@ object Katz {
     var t = state.df
     var iter = 0
     var diff = Double.MaxValue
+
+    // One Katz step as a plan; completion against the CACHED state's ids
+    // (dense, invariant), so `prev` is referenced exactly once and steps
+    // chain without subtree recomputation — same discipline as
+    // PageRank.stepPlan.
+    def stepPlan(prev: DataFrame): DataFrame = {
+      val contrib = adj.rows.alias("a")
+        .join(prev.alias("s"), col("a.src") === col("s.id"))
+        .select(col("a.dsts").as("_ds"), (col("s.v") * alpha).as("c"))
+        .select(explode(col("_ds")).as("_dn"), col("c"))
+        .select(col("_dn").cast("long").as("dst"), col("c"))
+      val g = contrib.groupBy("dst").agg(sum(col("c")).as("g"))
+      t.select(col("id")).alias("u")
+        .join(g.alias("g"), col("u.id") === col("g.dst"), "left_outer")
+        .select(col("u.id").as("id"),
+          (lit(beta) + coalesce(col("g.g"), lit(0.0))).as("v"))
+    }
+
+    // Exact-iteration fast path (tol == 0): two chained steps per
+    // materialized job — same scores, half the state materializations
+    // (see PageRank.run for the rationale and the measured effect).
+    while (tol == 0.0 && maxIter - iter >= 2) {
+      val newState = Ckpt.materialize(stepPlan(stepPlan(t)))
+      state.release()
+      state = newState
+      t = newState.df
+      iter += 2
+    }
+
     while (iter < maxIter && diff > tol) {
       val contrib = adj.rows
         .join(t, adj.rows("src") === t("id"))

@@ -58,6 +58,47 @@ object PageRank {
     var t = state.df
     var iter = startIter
     var rdiff = Double.MaxValue
+
+    // One full PageRank step as a PLAN (no materialization): gather along the
+    // out-edges, then dense completion against the static id universe. The
+    // universe is read from the CACHED state `t` (its ids are exactly
+    // 0..n-1 every iteration), NOT from `prev`: `prev` may itself be an
+    // unmaterialized step plan, and referencing it twice would recompute its
+    // whole subtree into both branches (the measured MinReach double-step
+    // failure mode). With `prev` referenced exactly once, steps chain into a
+    // linear plan.
+    def stepPlan(prev: DataFrame): DataFrame = {
+      val contrib = adj.rows.alias("a")
+        .join(prev.alias("s"), col("a.src") === col("s.id"))
+        .select(col("a.dsts").as("_ds"), (col("s.v") * damping / col("a.deg")).as("c"))
+        .select(explode(col("_ds")).as("_dn"), col("c"))
+        .select(col("_dn").cast("long").as("dst"), col("c"))
+      val g = contrib.groupBy("dst").agg(sum(col("c")).as("g"))
+      t.select(col("id")).alias("u")
+        .join(g.alias("g"), col("u.id") === col("g.dst"), "left_outer")
+        .select(col("u.id").as("id"),
+          (lit(teleport) + coalesce(col("g.g"), lit(0.0))).as("v"))
+    }
+
+    // Exact-iteration fast path (tol == 0: the caller asked for exactly
+    // maxIter steps, so no per-step convergence metric is needed): run TWO
+    // steps per materialized job. Scores after k steps are identical to the
+    // single-step loop — same gather + dense-completion arithmetic, the
+    // completion universe (the cached state's ids) is the same dense 0..n-1
+    // either way — but the state-cache write+read and the job/planning
+    // round-trip are paid half as often, which is exactly the
+    // parallelism-INDEPENDENT per-iteration cost that depresses the
+    // high-core scaling legs (BENCH/BASELINE.md 8→32). Checkpointed runs
+    // keep the single-step loop: their contract saves every iteration.
+    val exactIters = tol == 0.0 && checkpointer.isEmpty
+    while (exactIters && maxIter - iter >= 2) {
+      val newState = Ckpt.materialize(stepPlan(stepPlan(t)))
+      state.release()
+      state = newState
+      t = newState.df
+      iter += 2
+    }
+
     while (iter < maxIter && rdiff > tol) {
       // gather: contribution of src along each out-edge = v*damping/deg.
       // The per-source factor is projected BEFORE the explode (an expression

@@ -45,6 +45,37 @@ object PersonalizedPageRank {
     var t = state.df
     var iter = 0
     var rdiff = Double.MaxValue
+
+    // One PPR step as a plan. The completion universe is (id, tp) from the
+    // CACHED state — `tp` never changes across iterations, so reading it
+    // from `t` (instead of `prev`) keeps `prev` referenced exactly once and
+    // lets steps chain without subtree recomputation — same discipline as
+    // PageRank.stepPlan.
+    def stepPlan(prev: DataFrame): DataFrame = {
+      val contrib = adj.rows.alias("a")
+        .join(prev.alias("s"), col("a.src") === col("s.id"))
+        .select(col("a.dsts").as("_ds"), (col("s.v") * damping / col("a.deg")).as("c"))
+        .select(explode(col("_ds")).as("_dn"), col("c"))
+        .select(col("_dn").cast("long").as("dst"), col("c"))
+      val g = contrib.groupBy("dst").agg(sum(col("c")).as("g"))
+      t.select(col("id"), col("tp")).alias("u")
+        .join(g.alias("g"), col("u.id") === col("g.dst"), "left_outer")
+        .select(col("u.id").as("id"),
+          (col("u.tp") + coalesce(col("g.g"), lit(0.0))).as("v"),
+          col("u.tp").as("tp"))
+    }
+
+    // Exact-iteration fast path (tol == 0): two chained steps per
+    // materialized job — same scores, half the state materializations
+    // (see PageRank.run for the rationale and the measured effect).
+    while (tol == 0.0 && maxIter - iter >= 2) {
+      val newState = Ckpt.materialize(stepPlan(stepPlan(t)))
+      state.release()
+      state = newState
+      t = newState.df
+      iter += 2
+    }
+
     while (iter < maxIter && rdiff > tol) {
       // same gather as PageRank: per-source factor projected BELOW the
       // explode (once per source, not once per generated edge row)

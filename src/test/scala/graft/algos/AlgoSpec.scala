@@ -47,6 +47,30 @@ class AlgoSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("PageRank exact-iteration fast path (tol=0 double-step) matches the " +
+    "recurrence at even AND odd iteration counts") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = (for (_ <- 0 until 400) yield
+      (rnd.nextInt(n - 10).toLong, rnd.nextInt(n).toLong))
+      .distinct.filter { case (s, d) => s != d }
+    val adj = Adjacency.build(edges.toDF("src", "dst"), n, 4, maxChunk = 8)
+    try {
+      // 4 = two double-steps; 5 = two double-steps + one single step
+      Seq(4, 5).foreach { k =>
+        val res = PageRank.run(spark, adj, damping = 0.85, tol = 0.0, maxIter = k)
+        assert(res.iterations == k)
+        val (want, _) = pagerank3fLocal(n, edges, 0.85, tol = 0.0, itermax = k)
+        val got = res.scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got.size == n)
+        (0 until n).foreach { i =>
+          assert(math.abs(got(i.toLong) - want(i)) < 1e-12,
+            s"k=$k vertex $i: got ${got(i.toLong)}, want ${want(i)}")
+        }
+      }
+    } finally adj.unpersist()
+  }
+
   test("PageRank on a seeded random graph with sinks and hubs (allclose 1e-6)") {
     val rnd = new scala.util.Random(42)
     val n = 120

@@ -78,8 +78,8 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     scannedCols.foreach(cols => assert(!cols.contains("v"), s"scan reads $cols"))
   }
 
-  test("PageRank iteration materializes with ONE exchange (the dst agg) and " +
-    "no re-sort of the persisted adjacency (zero-exchange loop)") {
+  test("PageRank loop: convergence path materializes ONE exchange per step, " +
+    "exact-iteration path TWO per double-step; never an adjacency re-sort") {
     import org.apache.spark.sql.GraftSqlShims
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -99,23 +99,34 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       val adj = graft.graph.Adjacency.build(e, 57,
         spark.sessionState.conf.numShufflePartitions)
       try {
-        graft.algos.PageRank.run(spark, adj, tol = 0.0, maxIter = 2)
-        val last = GraftSqlShims.lastMaterializedPlan.get
         // flatten across AQE query-stage boundaries; stop at cache leaves
         def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
           case q: QueryStageExec => nodes(q.plan)
           case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
           case other => other.children.flatMap(nodes)
         })
-        val all = nodes(last)
-        val exchanges = all.collect { case x: ShuffleExchangeLike => x }
-        assert(exchanges.size == 1,
-          s"expected exactly the dst-agg exchange, got ${exchanges.size}:\n$last")
-        // no SortExec may sit above the persisted adjacency scan — its
-        // build-time sort order must be reused by the gather join
-        val adjResort = all.collect { case s: SortExec => s }.exists(s =>
-          nodes(s).exists(_.isInstanceOf[InMemoryTableScanExec]))
-        assert(!adjResort, s"adjacency re-sorted per iteration:\n$last")
+        def checkLast(expectExchanges: Int, what: String): Unit = {
+          val last = GraftSqlShims.lastMaterializedPlan.get
+          val all = nodes(last)
+          val exchanges = all.collect { case x: ShuffleExchangeLike => x }
+          assert(exchanges.size == expectExchanges,
+            s"$what: expected $expectExchanges dst-agg exchange(s), " +
+              s"got ${exchanges.size}:\n$last")
+          // no SortExec may sit above the persisted adjacency scan — its
+          // build-time sort order must be reused by the gather join
+          val adjResort = all.collect { case s: SortExec => s }.exists(s =>
+            nodes(s).exists(_.isInstanceOf[InMemoryTableScanExec]))
+          assert(!adjResort, s"$what: adjacency re-sorted per iteration:\n$last")
+        }
+        // convergence path (tol > 0): one step per materialization, one
+        // exchange (the dst agg) per step
+        graft.algos.PageRank.run(spark, adj, tol = 1e-300, maxIter = 2)
+        checkLast(1, "convergence path")
+        // exact-iteration path (tol == 0, no checkpointer): TWO chained
+        // steps per materialization — two dst-agg exchanges, still one per
+        // iteration, and half the state materializations
+        graft.algos.PageRank.run(spark, adj, tol = 0.0, maxIter = 2)
+        checkLast(2, "exact-iteration double-step")
       } finally adj.unpersist()
     } finally {
       GraftSqlShims.captureMaterializedPlans = false
